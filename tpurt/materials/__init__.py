@@ -1,0 +1,242 @@
+"""Material shading (SURVEY.md §2.2 G3–G5).
+
+The reference dispatches closest-hit shaders per SBT hit group; on TPU the
+equivalent "shader dispatch" is divergence-free masked evaluation: every
+material family's response is computed densely on the VPU and selected by
+material kind (SURVEY.md §2.1 C10/C11 — "material dispatch replaces shader
+groups"). With 4 cheap families this beats gather/scatter material sorting;
+the sort-based pipeline (G9) also exists in ``tpurt.kernels.compaction`` and
+is benchmarked against this in ``benchmarks/``.
+
+Families (tpurt.scene.types): LAMBERT, BLINN_PHONG (param0=shininess,
+param1=specular strength), MIRROR (param0=fuzz), DIELECTRIC (param0=ior).
+Any material may add ``emission``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpurt.core import sampling
+from tpurt.core.vecmath import (
+    EPS_RAY,
+    build_onb,
+    dot,
+    normalize,
+    reflect,
+    refract,
+    schlick_fresnel,
+)
+from tpurt.scene.device import DeviceScene
+from tpurt.scene.types import BLINN_PHONG, DIELECTRIC, LAMBERT, MIRROR
+
+
+class HitAttrs(NamedTuple):
+    """Resolved per-hit surface attributes (all world space)."""
+
+    pos: jnp.ndarray  # (N, 3) hit position
+    n_geom: jnp.ndarray  # (N, 3) geometric normal, flipped to face the ray
+    n_shade: jnp.ndarray  # (N, 3) shading normal, same side as n_geom
+    front_face: jnp.ndarray  # (N,) bool — ray hit the winding-front side
+    mat_id: jnp.ndarray  # (N,) i32
+    kind: jnp.ndarray  # (N,) i32
+    albedo: jnp.ndarray  # (N, 3)
+    emission: jnp.ndarray  # (N, 3)
+    param0: jnp.ndarray  # (N,)
+    param1: jnp.ndarray  # (N,)
+
+
+def resolve_hit(ds: DeviceScene, org, dirn, t, u, v, tri, inst) -> HitAttrs:
+    """Gather + interpolate surface attributes for hits (G3 attribute interp).
+
+    Misses may pass arbitrary (clamped) indices; callers gate on the hit mask.
+    ``t`` must be a world-space ray parameter (the intersectors guarantee this
+    by never renormalizing object-space directions).
+    """
+    tri = jnp.clip(tri, 0, ds.tri_v0.shape[0] - 1)
+    inst = jnp.clip(inst, 0, ds.inst_mesh.shape[0] - 1)
+    w = 1.0 - u - v
+
+    v0 = ds.tri_v0[tri]
+    v1 = ds.tri_v1[tri]
+    v2 = ds.tri_v2[tri]
+    n_obj = jnp.cross(v1 - v0, v2 - v0)
+    nrm_mat = ds.inst_nrm[inst]  # (N, 3, 3)
+    xform_n = lambda n: jnp.einsum("nij,nj->ni", nrm_mat, n)
+    n_geom = normalize(xform_n(n_obj))
+
+    ns_obj = (
+        w[:, None] * ds.tri_n0[tri]
+        + u[:, None] * ds.tri_n1[tri]
+        + v[:, None] * ds.tri_n2[tri]
+    )
+    n_shade = normalize(xform_n(ns_obj))
+
+    pos = org + t[:, None] * dirn
+
+    # Face both normals toward the incoming ray; remember which side was hit
+    # (dielectrics need it to pick the refraction index ratio).
+    front_face = dot(n_geom, dirn) < 0.0
+    n_geom = jnp.where(front_face[:, None], n_geom, -n_geom)
+    n_shade = jnp.where(dot(n_shade, n_geom)[:, None] >= 0.0, n_shade, -n_shade)
+
+    override = ds.inst_mat_override[inst]
+    mat_id = jnp.where(override >= 0, override, ds.tri_mat[tri])
+    mat_id = jnp.clip(mat_id, 0, ds.mat_kind.shape[0] - 1)
+    return HitAttrs(
+        pos=pos,
+        n_geom=n_geom,
+        n_shade=n_shade,
+        front_face=front_face,
+        mat_id=mat_id,
+        kind=ds.mat_kind[mat_id],
+        albedo=ds.mat_albedo[mat_id],
+        emission=ds.mat_emission[mat_id],
+        param0=ds.mat_param0[mat_id],
+        param1=ds.mat_param1[mat_id],
+    )
+
+
+def eval_brdf(attrs: HitAttrs, wo: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate the non-delta BRDF families for direction pair (wo, wi).
+
+    wo points away from the surface toward the viewer, wi toward the light.
+    Returns (N, 3). Delta families (mirror/dielectric) evaluate to 0 — their
+    transport happens through sampled bounces only.
+    """
+    n = attrs.n_shade
+    diffuse = attrs.albedo / jnp.pi
+
+    h = normalize(wo + wi)
+    shin = jnp.maximum(attrs.param0, 1.0)
+    spec_norm = (shin + 2.0) / (2.0 * jnp.pi)
+    ndh = jnp.maximum(dot(n, h), 0.0)
+    spec = (attrs.param1 * spec_norm * ndh**shin)[:, None]
+
+    kind = attrs.kind
+    brdf = jnp.where(
+        (kind == LAMBERT)[:, None],
+        diffuse,
+        jnp.where((kind == BLINN_PHONG)[:, None], diffuse + spec, 0.0),
+    )
+    above = (dot(n, wi) > 0.0) & (dot(n, wo) > 0.0)
+    return jnp.where(above[:, None], brdf, 0.0)
+
+
+class BounceSample(NamedTuple):
+    wi: jnp.ndarray  # (N, 3) sampled next direction
+    weight: jnp.ndarray  # (N, 3) throughput multiplier (brdf·cos/pdf)
+    is_specular: jnp.ndarray  # (N,) bool — delta bounce (NEE skips these)
+    offset_sign: jnp.ndarray  # (N,) +1 reflect side / -1 transmit side
+
+
+def sample_bounce(attrs: HitAttrs, wo: jnp.ndarray, key: jax.Array) -> BounceSample:
+    """Sample the next bounce for every material family densely, then select
+    by kind — the TPU replacement for per-material-hit-group shaders (G3).
+
+    wo points away from the surface (toward the previous path vertex).
+    """
+    n = attrs.n_shade
+    d_in = -wo
+    k_diff, k_spec, k_fres = jax.random.split(key, 3)
+    u_diff = sampling.uniform2(k_diff, wo.shape[:-1])
+    u_sphere = sampling.uniform2(k_spec, wo.shape[:-1])
+    u_fres = jax.random.uniform(k_fres, wo.shape[:-1], dtype=jnp.float32)
+
+    # --- diffuse family: cosine hemisphere about the shading normal.
+    t, b = build_onb(n)
+    d_local, pdf = sampling.cosine_hemisphere(u_diff)
+    wi_diffuse = sampling.to_world(d_local, t, b, n)
+    brdf = eval_brdf(attrs, wo, wi_diffuse)
+    cos_i = jnp.maximum(dot(n, wi_diffuse), 0.0)
+    w_diffuse = brdf * (cos_i / jnp.maximum(pdf, 1e-8))[:, None]
+
+    # --- mirror with fuzz = param0 (0 ⇒ perfect mirror, >0 ⇒ glossy).
+    refl = normalize(reflect(d_in, n))
+    fuzz = attrs.param0[:, None]
+    wi_mirror = normalize(refl + fuzz * sampling.uniform_sphere(u_sphere))
+    mirror_ok = dot(wi_mirror, attrs.n_geom) > 0.0
+    w_mirror = attrs.albedo * mirror_ok[:, None]
+
+    # --- dielectric (ior = param0). attrs normals face the ray, so
+    # cos(theta_i) = -d_in·n > 0; the side bit picks the index ratio.
+    ior = jnp.maximum(attrs.param0, 1.0001)
+    eta = jnp.where(attrs.front_face, 1.0 / ior, ior)
+    cos_theta = jnp.clip(-dot(d_in, n), 0.0, 1.0)
+    wi_refr, tir = refract(d_in, n, eta)
+    fresnel = schlick_fresnel(cos_theta, jnp.ones_like(ior), 1.0 / eta)
+    reflect_choice = tir | (u_fres < fresnel)
+    wi_diel = jnp.where(reflect_choice[:, None], refl, wi_refr)
+    w_diel = attrs.albedo  # choice-by-Fresnel ⇒ weight cancels the pdf
+    diel_sign = jnp.where(reflect_choice, 1.0, -1.0)
+
+    kind = attrs.kind
+    is_mirror = kind == MIRROR
+    is_diel = kind == DIELECTRIC
+
+    wi = jnp.where(
+        is_mirror[:, None],
+        wi_mirror,
+        jnp.where(is_diel[:, None], wi_diel, wi_diffuse),
+    )
+    weight = jnp.where(
+        is_mirror[:, None],
+        w_mirror,
+        jnp.where(is_diel[:, None], w_diel, w_diffuse),
+    )
+    is_specular = is_mirror | is_diel
+    offset_sign = jnp.where(is_diel, diel_sign, 1.0)
+    return BounceSample(wi=wi, weight=weight, is_specular=is_specular,
+                        offset_sign=offset_sign)
+
+
+def bounce_origin(attrs: HitAttrs, offset_sign: jnp.ndarray) -> jnp.ndarray:
+    """Offset the next-ray origin off the surface (self-intersection guard).
+
+    Scale-aware: the epsilon grows with the magnitude of the hit position so
+    the offset survives f32 cancellation in large scenes (Cornell is 555
+    units; a fixed 1e-4 would vanish)."""
+    eps = EPS_RAY * jnp.maximum(1.0, jnp.max(jnp.abs(attrs.pos), axis=-1))
+    return attrs.pos + (offset_sign * eps)[:, None] * attrs.n_geom
+
+
+def sample_light(ds: DeviceScene, pos: jnp.ndarray, key: jax.Array):
+    """Next-event estimation: sample one point on one emissive triangle.
+
+    Returns (wi, dist, radiance_over_pdf, valid) where ``radiance_over_pdf``
+    already folds in emission · G / pdf so the caller only multiplies by the
+    surface BRDF · cos(theta_surface) and the shadow-ray visibility.
+    """
+    n_pts = pos.shape[0]
+    k_pick, k_bary = jax.random.split(key)
+    n_lights = jnp.maximum(ds.num_lights, 1)
+    pick = jnp.minimum(
+        (jax.random.uniform(k_pick, (n_pts,)) * n_lights).astype(jnp.int32),
+        n_lights - 1,
+    )
+    u = sampling.uniform2(k_bary, (n_pts,))
+    # uniform barycentric via sqrt trick
+    su = jnp.sqrt(u[:, 0])
+    b0 = 1.0 - su
+    b1 = u[:, 1] * su
+    b2 = 1.0 - b0 - b1
+    lv0, lv1, lv2 = ds.light_v0[pick], ds.light_v1[pick], ds.light_v2[pick]
+    lp = b0[:, None] * lv0 + b1[:, None] * lv1 + b2[:, None] * lv2
+    ln = jnp.cross(lv1 - lv0, lv2 - lv0)
+    ln = normalize(ln)
+
+    to_light = lp - pos
+    dist2 = jnp.maximum(dot(to_light, to_light), 1e-12)
+    dist = jnp.sqrt(dist2)
+    wi = to_light / dist[:, None]
+
+    cos_light = jnp.abs(dot(ln, wi))  # lights emit from both faces
+    area = ds.light_area[pick]
+    # pdf over area → solid angle: pdf_w = dist² / (cos_light · area · n_lights)
+    g = cos_light * area * n_lights.astype(jnp.float32) / dist2
+    radiance_over_pdf = ds.light_emission[pick] * g[:, None]
+    valid = (ds.num_lights > 0) & (area > 0.0) & (cos_light > 1e-6)
+    return wi, dist, radiance_over_pdf, valid

@@ -1,0 +1,116 @@
+"""Render driver — the reference's render loop, headless (SURVEY.md §2.1 C12).
+
+``render_scene`` is the per-frame host loop: progressive sample batches
+around the jitted megakernel (SURVEY.md §3.2 right column), accumulation in
+a FrameState, PNG readback at the end.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from tpurt.core.camera import Camera
+from tpurt.render import framebuffer as fb
+from tpurt.render.integrator import render_batch_jit
+from tpurt.render.intersectors import make_brute_force, scene_meta
+from tpurt.render.png import write_png
+from tpurt.scene.device import to_device
+from tpurt.scene.loader import load_scene
+from tpurt.utils.config import RenderConfig, get_config
+
+
+def build_intersector_factory(config: RenderConfig, scene, meta):
+    """Pick the intersector (SURVEY.md §2.2 G2): dense brute force for tiny
+    scenes, LBVH traversal otherwise."""
+    total_instanced = sum(
+        meta.mesh_tri_ranges[m][1] for m in meta.inst_mesh
+    )
+    kind = config.resolved_intersector(total_instanced)
+    if kind == "brute":
+        return make_brute_force, None
+    from tpurt.bvh import build_scene_accel, make_bvh_intersector_factory
+
+    accel = build_scene_accel(scene, leaf_size=config.bvh_leaf_size,
+                              use_pallas=(kind == "bvh_pallas"))
+    return make_bvh_intersector_factory(accel), accel
+
+
+def render_scene(
+    config: RenderConfig,
+    scene=None,
+    camera: Optional[Camera] = None,
+    state: Optional[fb.FrameState] = None,
+    verbose: bool = False,
+):
+    """Render ``config.spp`` samples progressively; returns (FrameState, stats).
+
+    ``scene`` may be a host Scene (else loaded from config.scene);
+    ``camera`` overrides the scene camera (flythrough frames); ``state``
+    resumes a previous accumulation (checkpoint/resume, SURVEY.md §5).
+    """
+    if scene is None:
+        scene = load_scene(config.scene)
+    cam = camera if camera is not None else scene.camera
+    assert cam is not None, "scene has no camera"
+    meta = scene_meta(scene)
+    ds = to_device(scene)
+    factory, accel = build_intersector_factory(config, scene, meta)
+
+    if state is None:
+        state = fb.new_frame_state(config.width, config.height, config.seed)
+
+    n_batches = -(-config.spp // config.spp_per_batch)
+    t0 = time.perf_counter()
+    for _ in range(int(state.batch_index), n_batches):
+        key = jax.random.fold_in(state.rng_key, int(state.batch_index))
+        radiance_sum = render_batch_jit(
+            ds, cam, key, meta=meta, config=config, make_intersector=factory
+        )
+        state = fb.accumulate(state, radiance_sum, config.spp_per_batch)
+        if verbose:
+            jax.block_until_ready(state.accum)
+            print(
+                f"  batch {int(state.batch_index)}/{n_batches} "
+                f"({int(state.n_samples)} spp) "
+                f"{time.perf_counter() - t0:.2f}s"
+            )
+    jax.block_until_ready(state.accum)
+    elapsed = time.perf_counter() - t0
+    n_rays = estimate_rays(config) * int(state.n_samples)
+    stats = {
+        "elapsed_s": elapsed,
+        "spp": int(state.n_samples),
+        "mrays_per_s": n_rays / max(elapsed, 1e-9) / 1e6,
+        "est_rays": n_rays,
+    }
+    return state, stats
+
+
+def estimate_rays(config: RenderConfig) -> int:
+    """Rays per sample-per-pixel: primary + bounces (+ shadow rays with NEE).
+
+    An upper-bound estimate used for the Mrays/sec metric (BASELINE.json:2);
+    the profiling counters in tpurt.utils.profiling measure actual traced
+    rays when enabled.
+    """
+    per_path = 1 + config.max_bounces
+    if config.use_nee and config.shading_mode == "full":
+        per_path += 1 + config.max_bounces  # one shadow ray per path vertex
+    return config.width * config.height * per_path
+
+
+def render_to_png(name_or_config, path: str, verbose: bool = False, **overrides):
+    """One-call demo driver: preset/config → PNG file (the L5 app layer)."""
+    config = (
+        name_or_config
+        if isinstance(name_or_config, RenderConfig)
+        else get_config(name_or_config, **overrides)
+    )
+    state, stats = render_scene(config, verbose=verbose)
+    img = fb.to_png_array(state, config.exposure)
+    write_png(path, img)
+    return img, stats

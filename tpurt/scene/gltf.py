@@ -1,0 +1,214 @@
+"""Minimal glTF 2.0 loader (SURVEY.md §2.1 C6), dependency-free.
+
+Covers what the reference's scene path needs (BASELINE.json:5 "glTF meshes +
+materials + node transforms → instances"): .gltf (JSON, external or data-URI
+buffers) and .glb (binary container), POSITION/NORMAL attributes, indexed and
+non-indexed triangle primitives, pbrMetallicRoughness baseColor → material
+mapping, and the full node hierarchy (matrix or TRS) flattened into
+per-primitive instances.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import struct
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from tpurt.scene.types import (
+    BLINN_PHONG,
+    LAMBERT,
+    MIRROR,
+    Material,
+    Mesh,
+    Scene,
+    Instance,
+)
+
+_COMPONENT_DTYPE = {
+    5120: np.int8,
+    5121: np.uint8,
+    5122: np.int16,
+    5123: np.uint16,
+    5125: np.uint32,
+    5126: np.float32,
+}
+_TYPE_COUNT = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
+
+
+def _load_buffers(doc: dict, base_dir: str, glb_bin: Optional[bytes]) -> List[bytes]:
+    bufs = []
+    for buf in doc.get("buffers", []):
+        uri = buf.get("uri")
+        if uri is None:
+            if glb_bin is None:
+                raise ValueError("glTF buffer has no uri and no GLB BIN chunk")
+            bufs.append(glb_bin)
+        elif uri.startswith("data:"):
+            bufs.append(base64.b64decode(uri.split(",", 1)[1]))
+        else:
+            with open(os.path.join(base_dir, uri), "rb") as f:
+                bufs.append(f.read())
+    return bufs
+
+
+def _read_accessor(doc: dict, buffers: List[bytes], idx: int) -> np.ndarray:
+    acc = doc["accessors"][idx]
+    n_comp = _TYPE_COUNT[acc["type"]]
+    dtype = _COMPONENT_DTYPE[acc["componentType"]]
+    count = acc["count"]
+    if "bufferView" not in acc:
+        return np.zeros((count, n_comp), dtype)
+    view = doc["bufferViews"][acc["bufferView"]]
+    data = buffers[view["buffer"]]
+    start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+    itemsize = np.dtype(dtype).itemsize * n_comp
+    stride = view.get("byteStride", itemsize)
+    if stride == itemsize:
+        out = np.frombuffer(data, dtype, count * n_comp, start).reshape(count, n_comp)
+    else:  # interleaved
+        raw = np.frombuffer(
+            data, np.uint8, stride * (count - 1) + itemsize, start
+        )
+        out = np.lib.stride_tricks.as_strided(
+            raw.view(dtype), shape=(count, n_comp), strides=(stride, np.dtype(dtype).itemsize)
+        ).copy()
+    return out
+
+
+def _node_matrix(node: dict) -> np.ndarray:
+    """Node local transform as a 4x4 (glTF stores column-major)."""
+    if "matrix" in node:
+        return np.asarray(node["matrix"], np.float32).reshape(4, 4).T
+    m = np.eye(4, dtype=np.float32)
+    if "rotation" in node:
+        x, y, z, w = node["rotation"]
+        m[:3, :3] = np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ],
+            np.float32,
+        )
+    if "scale" in node:
+        m[:3, :3] = m[:3, :3] * np.asarray(node["scale"], np.float32)[None, :]
+    if "translation" in node:
+        m[:3, 3] = node["translation"]
+    return m
+
+
+def _parse_glb(data: bytes):
+    magic, version, _length = struct.unpack_from("<III", data, 0)
+    if magic != 0x46546C67:
+        raise ValueError("not a GLB file")
+    offset = 12
+    doc, bin_chunk = None, None
+    while offset < len(data):
+        chunk_len, chunk_type = struct.unpack_from("<II", data, offset)
+        chunk = data[offset + 8 : offset + 8 + chunk_len]
+        if chunk_type == 0x4E4F534A:  # 'JSON'
+            doc = json.loads(chunk)
+        elif chunk_type == 0x004E4942:  # 'BIN'
+            bin_chunk = chunk
+        offset += 8 + chunk_len + (-chunk_len) % 4
+    if doc is None:
+        raise ValueError("GLB missing JSON chunk")
+    return doc, bin_chunk
+
+
+def _material_from_gltf(gm: dict) -> Material:
+    pbr = gm.get("pbrMetallicRoughness", {})
+    base = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])[:3]
+    metallic = pbr.get("metallicFactor", 1.0)
+    roughness = pbr.get("roughnessFactor", 1.0)
+    emissive = gm.get("emissiveFactor", [0.0, 0.0, 0.0])
+    strength = gm.get("extensions", {}).get(
+        "KHR_materials_emissive_strength", {}
+    ).get("emissiveStrength", 1.0)
+    emission = tuple(float(e) * strength for e in emissive)
+    if metallic > 0.7 and roughness < 0.35:
+        return Material(MIRROR, tuple(base), emission, param0=roughness,
+                        name=gm.get("name", ""))
+    if roughness < 0.6:
+        shininess = max(2.0 / max(roughness, 1e-3) ** 2, 2.0)
+        return Material(BLINN_PHONG, tuple(base), emission, param0=shininess,
+                        param1=0.4 * (1.0 - roughness), name=gm.get("name", ""))
+    return Material(LAMBERT, tuple(base), emission, name=gm.get("name", ""))
+
+
+def load_gltf(path: str, scene: Optional[Scene] = None) -> Scene:
+    """Load a .gltf/.glb file: meshes + materials + node transforms →
+    Scene meshes/instances (SURVEY.md §3.4)."""
+    if scene is None:
+        scene = Scene(name=os.path.basename(path))
+    base_dir = os.path.dirname(path)
+    with open(path, "rb") as f:
+        raw = f.read()
+    if path.endswith(".glb") or raw[:4] == b"glTF":
+        doc, glb_bin = _parse_glb(raw)
+    else:
+        doc, glb_bin = json.loads(raw), None
+    buffers = _load_buffers(doc, base_dir, glb_bin)
+
+    mat_ids = []
+    for gm in doc.get("materials", []):
+        mat_ids.append(scene.add_material(_material_from_gltf(gm)))
+    default_mat = scene.add_material(Material(name="gltf_default"))
+
+    # mesh → list of (tpurt mesh id) one per primitive
+    prim_mesh_ids: Dict[int, List[int]] = {}
+    for mi, gm in enumerate(doc.get("meshes", [])):
+        ids = []
+        for pi, prim in enumerate(gm.get("primitives", [])):
+            if prim.get("mode", 4) != 4:  # triangles only
+                continue
+            attrs = prim["attributes"]
+            pos = _read_accessor(doc, buffers, attrs["POSITION"]).astype(np.float32)
+            nrm = None
+            if "NORMAL" in attrs:
+                nrm = _read_accessor(doc, buffers, attrs["NORMAL"]).astype(np.float32)
+            if "indices" in prim:
+                idx = _read_accessor(doc, buffers, prim["indices"]).reshape(-1)
+            else:
+                idx = np.arange(pos.shape[0], dtype=np.int64)
+            idx = idx.astype(np.int32).reshape(-1, 3)
+            mat = (
+                mat_ids[prim["material"]]
+                if "material" in prim and prim["material"] < len(mat_ids)
+                else default_mat
+            )
+            mesh = Mesh(pos, idx, mat, normals=nrm,
+                        name=f"{gm.get('name', f'mesh{mi}')}/p{pi}")
+            ids.append(scene.add_mesh(mesh))
+        prim_mesh_ids[mi] = ids
+
+    nodes = doc.get("nodes", [])
+    scene_idx = doc.get("scene", 0)
+    roots = (
+        doc["scenes"][scene_idx].get("nodes", list(range(len(nodes))))
+        if doc.get("scenes")
+        else list(range(len(nodes)))
+    )
+
+    def walk(node_idx: int, parent: np.ndarray):
+        node = nodes[node_idx]
+        world = parent @ _node_matrix(node)
+        if "mesh" in node:
+            for mesh_id in prim_mesh_ids.get(node["mesh"], []):
+                scene.add_instance(
+                    Instance(mesh_id, world[:3, :].astype(np.float32),
+                             name=node.get("name", f"node{node_idx}"))
+                )
+        for child in node.get("children", []):
+            walk(child, world)
+
+    for r in roots:
+        walk(r, np.eye(4, dtype=np.float32))
+    if not scene.instances and scene.meshes:
+        for mid in range(len(scene.meshes)):
+            scene.add_instance(Instance(mid))
+    return scene

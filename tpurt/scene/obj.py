@@ -1,0 +1,180 @@
+"""Wavefront OBJ (+ MTL) loader, dependency-free numpy (SURVEY.md §2.1 C5).
+
+Supports the subset a demo of the reference's class needs: ``v``, ``vn``,
+``f`` (with v, v//vn, v/vt/vn forms, negative indices, polygon fan
+triangulation), ``o``/``g`` grouping, ``usemtl`` + ``mtllib`` with Kd/Ke/Ns/Ni
+and illum-based kind mapping. Unknown directives are ignored.
+
+A C++ fast path for large files lives in ``tpurt.utils.native`` (ctypes);
+this module is the always-available pure-Python reference.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from tpurt.scene.types import (
+    BLINN_PHONG,
+    DIELECTRIC,
+    LAMBERT,
+    MIRROR,
+    Material,
+    Mesh,
+    Scene,
+    Instance,
+)
+
+
+def parse_mtl(path: str) -> Dict[str, Material]:
+    """Parse a .mtl file into Material records."""
+    mats: Dict[str, Material] = {}
+    cur: Optional[Material] = None
+    if not os.path.exists(path):
+        return mats
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            tok = line.split()
+            if not tok or tok[0].startswith("#"):
+                continue
+            key = tok[0]
+            if key == "newmtl":
+                cur = Material(name=tok[1] if len(tok) > 1 else "")
+                mats[cur.name] = cur
+            elif cur is None:
+                continue
+            elif key == "Kd":
+                cur.albedo = tuple(float(x) for x in tok[1:4])
+            elif key == "Ke":
+                cur.emission = tuple(float(x) for x in tok[1:4])
+            elif key == "Ns":
+                # Shininess > 1 ⇒ Blinn-Phong unless overridden by illum.
+                cur.param0 = float(tok[1])
+                if cur.kind == LAMBERT and cur.param0 > 1.0:
+                    cur.kind = BLINN_PHONG
+                    cur.param1 = max(cur.param1, 0.3)
+            elif key == "Ks" and len(tok) >= 4:
+                cur.param1 = float(np.mean([float(x) for x in tok[1:4]]))
+            elif key == "Ni":
+                ior = float(tok[1])
+                if abs(ior - 1.0) > 1e-3:
+                    cur.param0 = ior
+            elif key == "illum":
+                illum = int(float(tok[1]))
+                if illum in (3, 5):  # reflective
+                    cur.kind = MIRROR
+                    cur.param0 = 0.0
+                elif illum in (4, 6, 7, 9):  # refractive glass
+                    cur.kind = DIELECTRIC
+                    if cur.param0 <= 1.0:
+                        cur.param0 = 1.5
+    return mats
+
+
+def _parse_face_vert(token: str, nv: int, nn: int) -> Tuple[int, int]:
+    """'v', 'v/vt', 'v//vn', 'v/vt/vn' → (vertex idx, normal idx or -1)."""
+    parts = token.split("/")
+    vi = int(parts[0])
+    vi = vi - 1 if vi > 0 else nv + vi
+    ni = -1
+    if len(parts) == 3 and parts[2]:
+        ni = int(parts[2])
+        ni = ni - 1 if ni > 0 else nn + ni
+    return vi, ni
+
+
+def load_obj(path: str, scene: Optional[Scene] = None,
+             default_material: Optional[Material] = None) -> Scene:
+    """Load an OBJ file into a (new or existing) Scene as one mesh + instance.
+
+    Each (position, normal) pair becomes one output vertex (OBJ's dual
+    indexing flattened), so the device packer stays a pure SoA gather.
+    """
+    if scene is None:
+        scene = Scene(name=os.path.basename(path))
+    positions: List[List[float]] = []
+    normals: List[List[float]] = []
+    # corner stream: (vi, ni) and per-face material id
+    corners: List[Tuple[int, int]] = []
+    face_mats: List[int] = []
+    mat_lookup: Dict[str, int] = {}
+    if default_material is None:
+        default_material = Material(name="obj_default")
+    cur_mat = scene.add_material(default_material)
+
+    mtl: Dict[str, Material] = {}
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            tok = line.split()
+            if not tok or tok[0].startswith("#"):
+                continue
+            key = tok[0]
+            if key == "v":
+                positions.append([float(x) for x in tok[1:4]])
+            elif key == "vn":
+                normals.append([float(x) for x in tok[1:4]])
+            elif key == "mtllib" and len(tok) > 1:
+                mtl.update(
+                    parse_mtl(os.path.join(os.path.dirname(path), tok[1]))
+                )
+            elif key == "usemtl" and len(tok) > 1:
+                name = tok[1]
+                if name not in mat_lookup:
+                    mat_lookup[name] = scene.add_material(
+                        mtl.get(name, Material(name=name))
+                    )
+                cur_mat = mat_lookup[name]
+            elif key == "f":
+                nv, nn = len(positions), len(normals)
+                fv = [_parse_face_vert(t, nv, nn) for t in tok[1:]]
+                for k in range(1, len(fv) - 1):  # fan triangulation
+                    corners += [fv[0], fv[k], fv[k + 1]]
+                    face_mats.append(cur_mat)
+
+    if not corners:
+        raise ValueError(f"OBJ {path!r} contains no faces")
+
+    pos = np.asarray(positions, np.float32)
+    nrm = np.asarray(normals, np.float32) if normals else None
+
+    # Flatten dual indexing: unique (vi, ni) pairs become vertices.
+    corner_arr = np.asarray(corners, np.int64)  # (3T, 2)
+    uniq, inverse = np.unique(corner_arr, axis=0, return_inverse=True)
+    verts = pos[uniq[:, 0]]
+    indices = inverse.reshape(-1, 3).astype(np.int32)
+    out_normals = None
+    if nrm is not None and (uniq[:, 1] >= 0).all():
+        out_normals = nrm[uniq[:, 1]]
+        ln = np.linalg.norm(out_normals, axis=1, keepdims=True)
+        out_normals = (out_normals / np.maximum(ln, 1e-20)).astype(np.float32)
+
+    mesh = Mesh(
+        verts,
+        indices,
+        np.asarray(face_mats, np.int32),
+        normals=out_normals,
+        name=os.path.basename(path),
+    )
+    mid = scene.add_mesh(mesh)
+    scene.add_instance(Instance(mid, name=mesh.name))
+    return scene
+
+
+def save_obj(path: str, mesh: Mesh) -> None:
+    """Write a Mesh back out (used to generate loader test fixtures)."""
+    with open(path, "w") as f:
+        f.write(f"# tpurt OBJ export: {mesh.name}\n")
+        for v in mesh.vertices:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        if mesh.normals is not None:
+            for n in mesh.normals:
+                f.write(f"vn {n[0]} {n[1]} {n[2]}\n")
+            for t in mesh.indices:
+                f.write(
+                    f"f {t[0]+1}//{t[0]+1} {t[1]+1}//{t[1]+1} {t[2]+1}//{t[2]+1}\n"
+                )
+        else:
+            for t in mesh.indices:
+                f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")

@@ -1,0 +1,73 @@
+"""Config / flag system (SURVEY.md §5 "Config / flag system").
+
+One frozen (hashable — jit-static) dataclass ``RenderConfig`` + per-demo
+presets matching the benchmark ladder (BASELINE.json:7–11). CLI:
+``python -m tpurt render --config cornell_pt``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    scene: str = "cornell"  # preset name or .obj/.gltf/.glb path
+    width: int = 512
+    height: int = 512
+    spp: int = 64  # total samples per pixel (progressive)
+    spp_per_batch: int = 4  # samples folded inside one jitted batch
+    max_bounces: int = 4  # 0 = primary rays only
+    use_nee: bool = True  # next-event estimation (shadow rays)
+    shading_mode: str = "full"  # "full" | "flat" (hello-triangle)
+    seed: int = 0
+    exposure: float = 1.0
+    intersector: str = "auto"  # "auto" | "brute" | "bvh" | "bvh_pallas"
+    # BVH tuning
+    bvh_leaf_size: int = 4
+    # wavefront/compaction pipeline (G8/G9) vs. megakernel
+    pipeline: str = "mega"  # "mega" | "wavefront"
+    # distributed execution (X1/X2): axis sizes; 1 = single chip
+    n_sample_shards: int = 1
+    n_tile_shards: int = 1
+
+    def resolved_intersector(self, num_instanced_tris: int) -> str:
+        if self.intersector != "auto":
+            return self.intersector
+        # Dense all-pairs wins below ~128 triangles (zero gathers, pure VPU).
+        return "brute" if num_instanced_tris <= 128 else "bvh"
+
+
+# The five-config benchmark ladder (BASELINE.json:7–11, SURVEY.md §6).
+PRESETS = {
+    "hello_triangle": RenderConfig(
+        scene="hello_triangle", width=800, height=600, spp=1, spp_per_batch=1,
+        max_bounces=0, use_nee=False, shading_mode="flat", intersector="brute",
+    ),
+    "cornell": RenderConfig(
+        scene="cornell", width=512, height=512, spp=64, spp_per_batch=8,
+        max_bounces=0, use_nee=True, intersector="brute",
+    ),
+    "bunny": RenderConfig(
+        scene="bunny", width=800, height=600, spp=16, spp_per_batch=4,
+        max_bounces=2, use_nee=True, intersector="bvh",
+    ),
+    "cornell_pt": RenderConfig(
+        scene="cornell_pt", width=512, height=512, spp=256, spp_per_batch=8,
+        max_bounces=4, use_nee=True, intersector="brute",
+    ),
+    "sponza": RenderConfig(
+        scene="sponza", width=1920, height=1080, spp=8, spp_per_batch=2,
+        max_bounces=2, use_nee=True, intersector="bvh",
+    ),
+}
+
+
+def get_config(name: str, **overrides) -> RenderConfig:
+    cfg = PRESETS.get(name)
+    if cfg is None:
+        cfg = RenderConfig(scene=name)
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg
