@@ -16,27 +16,34 @@ import numpy as np
 from tpurt.core.camera import Camera
 from tpurt.render import framebuffer as fb
 from tpurt.render.integrator import render_batch_jit
-from tpurt.render.intersectors import make_brute_force, scene_meta
+from tpurt.render.intersectors import scene_meta
 from tpurt.render.png import write_png
 from tpurt.scene.device import to_device
 from tpurt.scene.loader import load_scene
 from tpurt.utils.config import RenderConfig, get_config
 
 
-def build_intersector_factory(config: RenderConfig, scene, meta):
+def build_accel(config: RenderConfig, ds, meta):
     """Pick the intersector (SURVEY.md §2.2 G2): dense brute force for tiny
-    scenes, LBVH traversal otherwise."""
+    scenes (returns None), LBVH traversal otherwise (returns SceneAccel).
+    The build itself is the on-device replacement of the reference's
+    build_acceleration_structures() (SURVEY.md §3.1/§3.3)."""
     total_instanced = sum(
         meta.mesh_tri_ranges[m][1] for m in meta.inst_mesh
     )
     kind = config.resolved_intersector(total_instanced)
     if kind == "brute":
-        return make_brute_force, None
-    from tpurt.bvh import build_scene_accel, make_bvh_intersector_factory
+        return None
+    import functools
 
-    accel = build_scene_accel(scene, leaf_size=config.bvh_leaf_size,
-                              use_pallas=(kind == "bvh_pallas"))
-    return make_bvh_intersector_factory(accel), accel
+    from tpurt.bvh import build_scene_accel
+
+    build = jax.jit(
+        functools.partial(
+            build_scene_accel, meta=meta, leaf_size=config.bvh_leaf_size
+        )
+    )
+    return build(ds)
 
 
 def render_scene(
@@ -58,7 +65,7 @@ def render_scene(
     assert cam is not None, "scene has no camera"
     meta = scene_meta(scene)
     ds = to_device(scene)
-    factory, accel = build_intersector_factory(config, scene, meta)
+    accel = build_accel(config, ds, meta)
 
     if state is None:
         state = fb.new_frame_state(config.width, config.height, config.seed)
@@ -68,7 +75,7 @@ def render_scene(
     for _ in range(int(state.batch_index), n_batches):
         key = jax.random.fold_in(state.rng_key, int(state.batch_index))
         radiance_sum = render_batch_jit(
-            ds, cam, key, meta=meta, config=config, make_intersector=factory
+            ds, cam, key, accel, meta=meta, config=config
         )
         state = fb.accumulate(state, radiance_sum, config.spp_per_batch)
         if verbose:

@@ -130,20 +130,28 @@ def render_batch(
     ds: DeviceScene,
     cam: Camera,
     key: jax.Array,
+    accel=None,
     *,
     meta: SceneMeta,
     config: RenderConfig,
-    make_intersector: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """One progressive batch: sum of ``config.spp_per_batch`` radiance
     samples for every pixel. Returns (H, W, 3) f32 (a *sum*, not a mean —
-    FrameState divides by its sample count at resolve time)."""
+    FrameState divides by its sample count at resolve time).
+
+    ``accel``: a SceneAccel pytree → two-level BVH traversal (G2); None →
+    dense brute force (tiny scenes / oracle)."""
     w, h = config.width, config.height
     px, py = full_frame_pixels(w, h)
 
-    if make_intersector is None:
-        make_intersector = make_brute_force
-    closest, any_hit = make_intersector(ds, meta)
+    if accel is None:
+        closest, any_hit = make_brute_force(ds, meta)
+    else:
+        from tpurt.bvh.two_level import make_two_level_intersector
+
+        closest, any_hit = make_two_level_intersector(
+            ds, accel, leaf_size=config.bvh_leaf_size
+        )
 
     def one_sample(s, acc):
         k_s = jax.random.fold_in(key, s)
@@ -171,8 +179,6 @@ def render_batch(
     return total.reshape(h, w, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("meta", "config", "make_intersector"))
-def render_batch_jit(ds, cam, key, *, meta, config, make_intersector=None):
-    return render_batch(
-        ds, cam, key, meta=meta, config=config, make_intersector=make_intersector
-    )
+@functools.partial(jax.jit, static_argnames=("meta", "config"))
+def render_batch_jit(ds, cam, key, accel=None, *, meta, config):
+    return render_batch(ds, cam, key, accel, meta=meta, config=config)
