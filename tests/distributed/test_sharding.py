@@ -1,0 +1,105 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh (SURVEY.md §4.5).
+
+The key property (SURVEY.md §4.4): sharding must not change radiometry —
+an N-chip render equals the single-chip render of the same global sample
+window, because randomness is a pure function of (seed, sample index,
+pixel id), never of the shard layout.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurt.parallel.mesh import (
+    distributed_spec,
+    make_render_mesh,
+    render_batch_distributed,
+)
+from tpurt.render.integrator import render_batch_jit
+from tpurt.render.intersectors import scene_meta
+from tpurt.scene.device import to_device
+from tpurt.scene.procedural import cornell_box
+from tpurt.utils.config import get_config
+
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def cornell_setup():
+    scene = cornell_box(False)
+    cfg = get_config(
+        "cornell", width=32, height=24, spp=4, spp_per_batch=1,
+        max_bounces=1,
+    )
+    meta = scene_meta(scene)
+    ds = to_device(scene)
+    return scene, cfg, meta, ds
+
+
+def test_mesh_creation():
+    mesh = make_render_mesh(2, 4)
+    assert mesh.shape == {"sample": 2, "tile": 4}
+    with pytest.raises(ValueError):
+        make_render_mesh(4, 4)  # only 8 virtual devices
+
+
+def _single_chip_reference(scene, cfg, meta, ds, accel, n_sample):
+    ref = jnp.zeros((cfg.height, cfg.width, 3))
+    for sid in range(n_sample):
+        img, _ = render_batch_jit(
+            ds, scene.camera, SEED, sid * cfg.spp_per_batch, accel,
+            meta=meta, config=cfg,
+        )
+        ref = ref + img
+    return np.asarray(ref)
+
+
+@pytest.mark.parametrize("n_sample,n_tile", [(1, 8), (8, 1), (2, 4)])
+def test_distributed_equals_single_chip(cornell_setup, n_sample, n_tile):
+    """Tile shards assemble the full frame; sample shards cover disjoint
+    sample windows; the result equals the 1-chip render of the same
+    window (order-of-summation float tolerance only)."""
+    scene, cfg, meta, ds = cornell_setup
+    mesh = make_render_mesh(n_sample, n_tile)
+
+    rows_per_shard, samples_added = distributed_spec(cfg, mesh)
+    out, counts = render_batch_distributed(
+        ds, scene.camera, SEED, 0, None, meta=meta, config=cfg, mesh=mesh,
+        rows_per_shard=rows_per_shard,
+    )
+    out = out[: cfg.height]
+    assert float(counts[0]) > 0
+    assert out.shape == (cfg.height, cfg.width, 3)
+    assert samples_added == n_sample * cfg.spp_per_batch
+
+    ref = _single_chip_reference(scene, cfg, meta, ds, None, n_sample)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_distributed_deterministic(cornell_setup):
+    scene, cfg, meta, ds = cornell_setup
+    mesh = make_render_mesh(2, 2)
+    rows_per_shard, _ = distributed_spec(cfg, mesh)
+    run = lambda: render_batch_distributed(
+        ds, scene.camera, 3, 0, None, meta=meta, config=cfg, mesh=mesh,
+        rows_per_shard=rows_per_shard,
+    )[0]
+    np.testing.assert_array_equal(np.asarray(run()), np.asarray(run()))
+
+
+def test_distributed_with_bvh(cornell_setup):
+    """Sharded rendering composes with the two-level BVH intersector."""
+    from tpurt.bvh.two_level import build_scene_accel
+
+    scene, cfg, meta, ds = cornell_setup
+    accel = build_scene_accel(ds, meta, leaf_size=4)
+    mesh = make_render_mesh(2, 2)
+    rows_per_shard, _ = distributed_spec(cfg, mesh)
+    out, _ = render_batch_distributed(
+        ds, scene.camera, SEED, 0, accel, meta=meta, config=cfg, mesh=mesh,
+        rows_per_shard=rows_per_shard,
+    )
+    out = out[: cfg.height]
+    ref = _single_chip_reference(scene, cfg, meta, ds, accel, 2)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)

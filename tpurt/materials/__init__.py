@@ -133,18 +133,22 @@ class BounceSample(NamedTuple):
     offset_sign: jnp.ndarray  # (N,) +1 reflect side / -1 transmit side
 
 
-def sample_bounce(attrs: HitAttrs, wo: jnp.ndarray, key: jax.Array) -> BounceSample:
+def sample_bounce(attrs: HitAttrs, wo: jnp.ndarray, sampler,
+                  bounce: int) -> BounceSample:
     """Sample the next bounce for every material family densely, then select
     by kind — the TPU replacement for per-material-hit-group shaders (G3).
 
     wo points away from the surface (toward the previous path vertex).
+    ``sampler``: a tpurt.core.prng.PixelSampler; ``bounce`` indexes the
+    static draw-site tags (shard-invariant randomness, SURVEY.md §4.4).
     """
+    from tpurt.core import prng
+
     n = attrs.n_shade
     d_in = -wo
-    k_diff, k_spec, k_fres = jax.random.split(key, 3)
-    u_diff = sampling.uniform2(k_diff, wo.shape[:-1])
-    u_sphere = sampling.uniform2(k_spec, wo.shape[:-1])
-    u_fres = jax.random.uniform(k_fres, wo.shape[:-1], dtype=jnp.float32)
+    u_diff = sampler.u2(prng.bounce_tag(bounce, prng.SITE_DIFFUSE))
+    u_sphere = sampler.u2(prng.bounce_tag(bounce, prng.SITE_SPHERE))
+    u_fres = sampler.u01(prng.bounce_tag(bounce, prng.SITE_FRESNEL))
 
     # --- diffuse family: cosine hemisphere about the shading normal.
     t, b = build_onb(n)
@@ -203,21 +207,22 @@ def bounce_origin(attrs: HitAttrs, offset_sign: jnp.ndarray) -> jnp.ndarray:
     return attrs.pos + (offset_sign * eps)[:, None] * attrs.n_geom
 
 
-def sample_light(ds: DeviceScene, pos: jnp.ndarray, key: jax.Array):
+def sample_light(ds: DeviceScene, pos: jnp.ndarray, sampler, bounce: int):
     """Next-event estimation: sample one point on one emissive triangle.
 
     Returns (wi, dist, radiance_over_pdf, valid) where ``radiance_over_pdf``
     already folds in emission · G / pdf so the caller only multiplies by the
     surface BRDF · cos(theta_surface) and the shadow-ray visibility.
     """
-    n_pts = pos.shape[0]
-    k_pick, k_bary = jax.random.split(key)
+    from tpurt.core import prng
+
     n_lights = jnp.maximum(ds.num_lights, 1)
+    u_pick = sampler.u01(prng.bounce_tag(bounce, prng.SITE_LIGHT_PICK))
     pick = jnp.minimum(
-        (jax.random.uniform(k_pick, (n_pts,)) * n_lights).astype(jnp.int32),
+        (u_pick * n_lights).astype(jnp.int32),
         n_lights - 1,
     )
-    u = sampling.uniform2(k_bary, (n_pts,))
+    u = sampler.u2(prng.bounce_tag(bounce, prng.SITE_LIGHT_BARY))
     # uniform barycentric via sqrt trick
     su = jnp.sqrt(u[:, 0])
     b0 = 1.0 - su

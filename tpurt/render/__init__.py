@@ -27,7 +27,16 @@ def build_accel(config: RenderConfig, ds, meta):
     """Pick the intersector (SURVEY.md §2.2 G2): dense brute force for tiny
     scenes (returns None), LBVH traversal otherwise (returns SceneAccel).
     The build itself is the on-device replacement of the reference's
-    build_acceleration_structures() (SURVEY.md §3.1/§3.3)."""
+    build_acceleration_structures() (SURVEY.md §3.1/§3.3).
+
+    On the tunneled `axon` TPU backend, program *lowering* goes through a
+    remote-compile service whose cost explodes with program size, so the
+    (one-time, per-scene) build is executed on the in-process CPU backend
+    and its outputs transferred once — the hot render path stays on TPU.
+    On real multi-chip TPU deployments set TPURT_BUILD_ON_DEVICE=1 to run
+    the same jitted build on the accelerator."""
+    import os
+
     total_instanced = sum(
         meta.mesh_tri_ranges[m][1] for m in meta.inst_mesh
     )
@@ -43,7 +52,18 @@ def build_accel(config: RenderConfig, ds, meta):
             build_scene_accel, meta=meta, leaf_size=config.bvh_leaf_size
         )
     )
-    return build(ds)
+    default = jax.devices()[0]
+    on_device = (
+        default.platform == "cpu"
+        or os.environ.get("TPURT_BUILD_ON_DEVICE") == "1"
+    )
+    if on_device:
+        return build(ds)
+    cpu = jax.devices("cpu")[0]
+    ds_cpu = jax.device_put(ds, cpu)
+    with jax.default_device(cpu):
+        accel = jax.block_until_ready(build(ds_cpu))
+    return jax.device_put(accel, default)
 
 
 def render_scene(
@@ -70,14 +90,38 @@ def render_scene(
     if state is None:
         state = fb.new_frame_state(config.width, config.height, config.seed)
 
-    n_batches = -(-config.spp // config.spp_per_batch)
+    # multi-chip execution (X1 tile / X2 sample sharding, SURVEY.md §2.3)
+    mesh = None
+    if config.n_sample_shards * config.n_tile_shards > 1:
+        from tpurt.parallel.mesh import make_render_mesh
+
+        mesh = make_render_mesh(config.n_sample_shards, config.n_tile_shards)
+
+    spp_per_batch = config.spp_per_batch * max(config.n_sample_shards, 1)
+    n_batches = -(-config.spp // spp_per_batch)
     t0 = time.perf_counter()
+    total_rays = np.zeros(2)
     for _ in range(int(state.batch_index), n_batches):
-        key = jax.random.fold_in(state.rng_key, int(state.batch_index))
-        radiance_sum = render_batch_jit(
-            ds, cam, key, accel, meta=meta, config=config
-        )
-        state = fb.accumulate(state, radiance_sum, config.spp_per_batch)
+        if mesh is None:
+            radiance_sum, counts = render_batch_jit(
+                ds, cam, state.seed, state.n_samples, accel,
+                meta=meta, config=config,
+            )
+        else:
+            from tpurt.parallel.mesh import (
+                distributed_spec,
+                render_batch_distributed,
+            )
+
+            rows_per_shard, _ = distributed_spec(config, mesh)
+            radiance_sum, counts = render_batch_distributed(
+                ds, cam, state.seed, state.n_samples, accel,
+                meta=meta, config=config, mesh=mesh,
+                rows_per_shard=rows_per_shard,
+            )
+            radiance_sum = radiance_sum[: config.height]  # crop tile padding
+        state = fb.accumulate(state, radiance_sum, spp_per_batch)
+        total_rays += np.asarray(counts)
         if verbose:
             jax.block_until_ready(state.accum)
             print(
@@ -87,12 +131,14 @@ def render_scene(
             )
     jax.block_until_ready(state.accum)
     elapsed = time.perf_counter() - t0
-    n_rays = estimate_rays(config) * int(state.n_samples)
+    n_rays = float(total_rays.sum())
     stats = {
         "elapsed_s": elapsed,
         "spp": int(state.n_samples),
+        "rays_closest": float(total_rays[0]),
+        "rays_shadow": float(total_rays[1]),
+        "rays_traced": n_rays,
         "mrays_per_s": n_rays / max(elapsed, 1e-9) / 1e6,
-        "est_rays": n_rays,
     }
     return state, stats
 

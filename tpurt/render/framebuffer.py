@@ -18,8 +18,9 @@ import numpy as np
 
 class FrameState(NamedTuple):
     accum: jnp.ndarray  # (H, W, 3) f32 — running *sum* of radiance samples
-    n_samples: jnp.ndarray  # () i32 — samples accumulated per pixel
-    rng_key: jax.Array  # base threefry key
+    n_samples: jnp.ndarray  # () i32 — samples accumulated per pixel; also
+    # the next global sample index (the RNG stream position — resume-safe)
+    seed: jnp.ndarray  # () u32 — base seed of the counter-based RNG
     batch_index: jnp.ndarray  # () i32 — next progressive batch id
 
     @property
@@ -35,7 +36,7 @@ def new_frame_state(width: int, height: int, seed: int = 0) -> FrameState:
     return FrameState(
         accum=jnp.zeros((height, width, 3), jnp.float32),
         n_samples=jnp.asarray(0, jnp.int32),
-        rng_key=jax.random.PRNGKey(seed),
+        seed=jnp.asarray(seed, jnp.uint32),
         batch_index=jnp.asarray(0, jnp.int32),
     )
 

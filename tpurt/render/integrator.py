@@ -20,14 +20,13 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
 from tpurt import materials
 from tpurt.core.camera import Camera, camera_rays, full_frame_pixels
-from tpurt.core import sampling
+from tpurt.core.prng import PixelSampler, TAG_JITTER
 from tpurt.core.vecmath import dot
 from tpurt.render.intersectors import SceneMeta, make_brute_force, scene_meta
 from tpurt.scene.device import DeviceScene, to_device
@@ -42,7 +41,7 @@ def path_trace_rays(
     any_hit,
     org: jnp.ndarray,
     dirn: jnp.ndarray,
-    key: jax.Array,
+    sampler,
     *,
     max_bounces: int,
     use_nee: bool,
@@ -58,12 +57,32 @@ def path_trace_rays(
     radiance = jnp.zeros((n, 3), jnp.float32)
     throughput = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones(n, bool)
-    # Emission is credited on camera hits and after specular bounces; NEE
-    # covers it after diffuse bounces (no double counting).
-    allow_emission = jnp.ones(n, bool)
+    # ray counters [closest-hit rays, shadow rays] — the profiling stats
+    # buffer (SURVEY.md §5 tracing/profiling; BASELINE.json:2 Mrays metric)
+    rays_traced = jnp.zeros(2, jnp.float32)
 
-    for bounce in range(max_bounces + 1):
+    if shading_mode == "flat":
+        # hello-triangle: unlit albedo (BASELINE.json:7 "flat shading")
+        rays_traced = rays_traced.at[0].add(jnp.float32(n))
         hit = closest(org, dirn, 0.0, jnp.inf)
+        attrs = materials.resolve_hit(
+            ds, org, dirn, hit.t, hit.u, hit.v, hit.tri, hit.inst
+        )
+        radiance = jnp.where(
+            hit.valid[:, None], attrs.albedo, ds.background
+        )
+        return radiance, rays_traced
+
+    # The bounce loop is a lax.fori_loop, not a Python unroll: the traced
+    # program contains ONE traversal instance regardless of max_bounces
+    # (smaller programs compile far faster, esp. through the remote-compile
+    # service of the tunneled axon backend).
+    def bounce_step(bounce, carry):
+        org, dirn, radiance, throughput, alive, allow_emission, rays = carry
+        rays = rays.at[0].add(jnp.sum(alive.astype(jnp.float32)))
+        # dead lanes get t_max=-1: their traversal root test fails and they
+        # reach DONE in one step instead of walking the tree with garbage
+        hit = closest(org, dirn, 0.0, jnp.where(alive, jnp.inf, -1.0))
         hit_valid = hit.valid & alive
 
         # miss shader (G5): background radiance, ray dies
@@ -75,26 +94,18 @@ def path_trace_rays(
             ds, org, dirn, hit.t, hit.u, hit.v, hit.tri, hit.inst
         )
 
-        if shading_mode == "flat":
-            # hello-triangle: unlit albedo (BASELINE.json:7 "flat shading")
-            radiance = radiance + jnp.where(
-                hit_valid[:, None], throughput * attrs.albedo, 0.0
-            )
-            break
-
+        # Emission is credited on camera hits and after specular bounces;
+        # NEE covers it after diffuse bounces (no double counting).
         radiance = radiance + jnp.where(
             (hit_valid & allow_emission)[:, None],
             throughput * attrs.emission,
             0.0,
         )
 
-        k_bounce = jax.random.fold_in(key, bounce)
-        k_light, k_mat = jax.random.split(k_bounce)
-
         if use_nee:
             shadow_org = materials.bounce_origin(attrs, jnp.ones(n))
             wi_l, dist_l, l_over_pdf, l_valid = materials.sample_light(
-                ds, shadow_org, k_light
+                ds, shadow_org, sampler, bounce
             )
             brdf_l = materials.eval_brdf(attrs, -dirn, wi_l)
             cos_s = jnp.maximum(dot(attrs.n_shade, wi_l), 0.0)
@@ -104,81 +115,132 @@ def path_trace_rays(
                 & l_valid
                 & (jnp.max(contrib, axis=-1) > 0.0)
             )
+            rays = rays.at[1].add(jnp.sum(want.astype(jnp.float32)))
             occluded = any_hit(
-                shadow_org, wi_l, 0.0, dist_l * (1.0 - SHADOW_EPS)
+                shadow_org,
+                wi_l,
+                0.0,
+                jnp.where(want, dist_l * (1.0 - SHADOW_EPS), -1.0),
             )
             radiance = radiance + jnp.where(
                 (want & ~occluded)[:, None], contrib, 0.0
             )
 
-        if bounce == max_bounces:
-            break
-
-        bs = materials.sample_bounce(attrs, -dirn, k_mat)
+        bs = materials.sample_bounce(attrs, -dirn, sampler, bounce)
         throughput = jnp.where(
             hit_valid[:, None], throughput * bs.weight, throughput
         )
         org = materials.bounce_origin(attrs, bs.offset_sign)
         dirn = bs.wi
-        allow_emission = bs.is_specular | (~use_nee)
-        alive = hit_valid & (jnp.max(throughput, axis=-1) > 1e-6)
+        allow_emission = bs.is_specular | (not use_nee)
+        alive = (
+            hit_valid
+            & (bounce < max_bounces)
+            & (jnp.max(throughput, axis=-1) > 1e-6)
+        )
+        return org, dirn, radiance, throughput, alive, allow_emission, rays
 
-    return radiance
+    init = (
+        org,
+        dirn,
+        radiance,
+        throughput,
+        alive,
+        jnp.ones(n, bool),  # allow_emission
+        rays_traced,
+    )
+    final = jax.lax.fori_loop(0, max_bounces + 1, bounce_step, init)
+    radiance, rays_traced = final[2], final[6]
+    return radiance, rays_traced
 
 
-def render_batch(
+def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
+                      config: RenderConfig):
+    """Closest/any-hit pair: two-level BVH when ``accel`` given, else dense
+    brute force (tiny scenes / oracle)."""
+    if accel is None:
+        return make_brute_force(ds, meta)
+    from tpurt.bvh.two_level import make_two_level_intersector
+
+    return make_two_level_intersector(ds, accel, leaf_size=config.bvh_leaf_size)
+
+
+def render_pixels(
     ds: DeviceScene,
     cam: Camera,
-    key: jax.Array,
-    accel=None,
+    seed,
+    sample0,
+    accel,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
     *,
     meta: SceneMeta,
     config: RenderConfig,
 ) -> jnp.ndarray:
-    """One progressive batch: sum of ``config.spp_per_batch`` radiance
-    samples for every pixel. Returns (H, W, 3) f32 (a *sum*, not a mean —
-    FrameState divides by its sample count at resolve time).
-
-    ``accel``: a SceneAccel pytree → two-level BVH traversal (G2); None →
-    dense brute force (tiny scenes / oracle)."""
+    """Sum of ``config.spp_per_batch`` radiance samples for each pixel in
+    (px, py), using global sample indices [sample0, sample0 + spp_per_batch).
+    Returns (P, 3) f32. This is the unit the distributed layer shards: X1
+    tile-parallelism passes row slices, X2 sample-parallelism passes
+    disjoint sample-index windows (SURVEY.md §2.3). Randomness is a pure
+    function of (seed, sample index, absolute pixel id) — bit-identical
+    under any sharding (SURVEY.md §4.4)."""
     w, h = config.width, config.height
-    px, py = full_frame_pixels(w, h)
+    closest, any_hit = make_intersectors(ds, accel, meta=meta, config=config)
+    pixel_id = py.astype(jnp.uint32) * jnp.uint32(w) + px.astype(jnp.uint32)
 
-    if accel is None:
-        closest, any_hit = make_brute_force(ds, meta)
-    else:
-        from tpurt.bvh.two_level import make_two_level_intersector
-
-        closest, any_hit = make_two_level_intersector(
-            ds, accel, leaf_size=config.bvh_leaf_size
+    def one_sample(s, carry):
+        acc, counts = carry
+        sampler = PixelSampler.make(
+            seed, jnp.asarray(sample0, jnp.uint32) + s.astype(jnp.uint32),
+            pixel_id,
         )
-
-    def one_sample(s, acc):
-        k_s = jax.random.fold_in(key, s)
-        k_jitter, k_path = jax.random.split(k_s)
-        uj = sampling.uniform2(k_jitter, px.shape)
+        uj = sampler.u2(TAG_JITTER)
         org, dirn = camera_rays(
-            cam, px, py, w, h, jitter=(uj[:, 0], uj[:, 1])
+            cam, px, py, w, h, jitter=(uj[..., 0], uj[..., 1])
         )
-        radiance = path_trace_rays(
+        radiance, rays = path_trace_rays(
             ds,
             closest,
             any_hit,
             org,
             dirn,
-            k_path,
+            sampler,
             max_bounces=config.max_bounces,
             use_nee=config.use_nee,
             shading_mode=config.shading_mode,
         )
-        return acc + radiance
+        return acc + radiance, counts + rays
 
-    total = jax.lax.fori_loop(
-        0, config.spp_per_batch, one_sample, jnp.zeros((px.shape[0], 3), jnp.float32)
+    return jax.lax.fori_loop(
+        0,
+        config.spp_per_batch,
+        one_sample,
+        (jnp.zeros(px.shape + (3,), jnp.float32), jnp.zeros(2, jnp.float32)),
     )
-    return total.reshape(h, w, 3)
+
+
+def render_batch(
+    ds: DeviceScene,
+    cam: Camera,
+    seed,
+    sample0,
+    accel=None,
+    *,
+    meta: SceneMeta,
+    config: RenderConfig,
+) -> jnp.ndarray:
+    """One progressive batch over the full frame: returns
+    ((H, W, 3) f32 radiance *sum*, (2,) ray counts [closest, shadow]).
+    FrameState divides the sum by its sample count at resolve time."""
+    w, h = config.width, config.height
+    px, py = full_frame_pixels(w, h)
+    total, counts = render_pixels(
+        ds, cam, seed, sample0, accel, px, py, meta=meta, config=config
+    )
+    return total.reshape(h, w, 3), counts
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "config"))
-def render_batch_jit(ds, cam, key, accel=None, *, meta, config):
-    return render_batch(ds, cam, key, accel, meta=meta, config=config)
+def render_batch_jit(ds, cam, seed, sample0, accel=None, *, meta, config):
+    return render_batch(ds, cam, seed, sample0, accel, meta=meta,
+                        config=config)
