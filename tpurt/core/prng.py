@@ -56,11 +56,16 @@ class PixelSampler(NamedTuple):
         base = pcg_hash(s + pixel_id.astype(jnp.uint32) * _GOLDEN)
         return PixelSampler(base=base)
 
-    def u01(self, tag: int) -> jnp.ndarray:
-        """One uniform in [0, 1) per pixel for a static draw-site tag."""
-        return _to_unit_float(pcg_hash(self.base + jnp.uint32(tag) * _GOLDEN))
+    def u01(self, tag) -> jnp.ndarray:
+        """One uniform in [0, 1) per pixel for a draw-site tag.
 
-    def u2(self, tag: int) -> jnp.ndarray:
+        ``tag`` is a static int in the megakernel; the wavefront pipeline
+        passes a traced per-lane uint32 vector (lanes sit at different bounce
+        depths — SURVEY.md §2.2 G8), which broadcasts against ``base``."""
+        tag = jnp.asarray(tag, jnp.uint32)
+        return _to_unit_float(pcg_hash(self.base + tag * _GOLDEN))
+
+    def u2(self, tag) -> jnp.ndarray:
         """(..., 2) uniforms — two consecutive tags."""
         return jnp.stack([self.u01(tag), self.u01(tag + 1)], axis=-1)
 

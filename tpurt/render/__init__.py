@@ -103,10 +103,18 @@ def render_scene(
     total_rays = np.zeros(2)
     for _ in range(int(state.batch_index), n_batches):
         if mesh is None:
-            radiance_sum, counts = render_batch_jit(
-                ds, cam, state.seed, state.n_samples, accel,
-                meta=meta, config=config,
-            )
+            if config.pipeline == "wavefront":
+                from tpurt.render.wavefront import render_batch_wavefront_jit
+
+                radiance_sum, counts = render_batch_wavefront_jit(
+                    ds, cam, state.seed, state.n_samples, accel,
+                    meta=meta, config=config,
+                )
+            else:
+                radiance_sum, counts = render_batch_jit(
+                    ds, cam, state.seed, state.n_samples, accel,
+                    meta=meta, config=config,
+                )
         else:
             from tpurt.parallel.mesh import (
                 distributed_spec,

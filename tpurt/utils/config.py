@@ -28,6 +28,8 @@ class RenderConfig:
     bvh_leaf_size: int = 4
     # wavefront/compaction pipeline (G8/G9) vs. megakernel
     pipeline: str = "mega"  # "mega" | "wavefront"
+    wavefront_capacity: int = 1 << 16  # ring-buffer lanes (G8)
+    material_sort: bool = True  # G9 sort-by-material before shading
     # distributed execution (X1/X2): axis sizes; 1 = single chip
     n_sample_shards: int = 1
     n_tile_shards: int = 1
