@@ -1,0 +1,192 @@
+"""CLI — the L5 app/demo layer (SURVEY.md §1 L5, §2.1 C12/C13).
+
+The reference's ``main()`` opens a window, picks a scene, and runs the
+render loop; headless on TPU that becomes subcommands:
+
+  python -m tpurt render  --config cornell_pt --out out.png
+  python -m tpurt animate --config sponza --frames 24 --out-dir frames/
+  python -m tpurt info
+
+``render`` supports progressive checkpoint/resume (--checkpoint/--resume,
+SURVEY.md §5) and profiling (--profile writes a Perfetto trace via
+jax.profiler — the RenderDoc/timestamp-query analog).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+
+def _add_config_overrides(ap: argparse.ArgumentParser) -> None:
+    ap.add_argument("--config", default="cornell",
+                    help="preset name or scene file (.obj/.gltf/.glb)")
+    ap.add_argument("--width", type=int)
+    ap.add_argument("--height", type=int)
+    ap.add_argument("--spp", type=int)
+    ap.add_argument("--spp-per-batch", type=int, dest="spp_per_batch")
+    ap.add_argument("--max-bounces", type=int, dest="max_bounces")
+    ap.add_argument("--seed", type=int)
+    ap.add_argument("--exposure", type=float)
+    ap.add_argument("--intersector",
+                    choices=["auto", "brute", "bvh", "bvh_packet"])
+    ap.add_argument("--pipeline", choices=["mega", "wavefront"])
+    ap.add_argument("--no-nee", action="store_true",
+                    help="disable next-event estimation")
+    ap.add_argument("--sample-shards", type=int, dest="n_sample_shards",
+                    help="X2 sample-parallel axis size")
+    ap.add_argument("--tile-shards", type=int, dest="n_tile_shards",
+                    help="X1 tile-parallel axis size")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+
+
+def _build_config(args):
+    from tpurt.utils.config import get_config
+
+    overrides = {}
+    for field in ("width", "height", "spp", "spp_per_batch", "max_bounces",
+                  "seed", "exposure", "intersector", "pipeline",
+                  "n_sample_shards", "n_tile_shards"):
+        v = getattr(args, field, None)
+        if v is not None:
+            overrides[field] = v
+    if getattr(args, "no_nee", False):
+        overrides["use_nee"] = False
+    return get_config(args.config, **overrides)
+
+
+def _maybe_cpu(args) -> None:
+    if getattr(args, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def cmd_render(args) -> int:
+    _maybe_cpu(args)
+    from tpurt.render import framebuffer as fb
+    from tpurt.render import render_scene
+    from tpurt.render.checkpoint import load_checkpoint, save_checkpoint
+    from tpurt.render.png import write_png
+
+    config = _build_config(args)
+    state = None
+    if args.resume:
+        state, ck_config, _ = load_checkpoint(args.resume)
+        if ck_config is not None:
+            # CLI overrides win over checkpointed config
+            merged = dataclasses.asdict(ck_config)
+            for k, v in dataclasses.asdict(config).items():
+                default = getattr(type(config)(), k, None)
+                if v != default:
+                    merged[k] = v
+            config = type(config)(**merged)
+        print(f"resumed at {int(state.n_samples)} spp from {args.resume}")
+
+    t0 = time.perf_counter()
+    state, stats = render_scene(config, state=state, verbose=args.verbose)
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, state, config)
+        print(f"checkpoint → {args.checkpoint}")
+    img = fb.to_png_array(state, config.exposure)
+    write_png(args.out, img)
+    print(
+        f"{args.out}: {config.width}x{config.height} {stats['spp']} spp, "
+        f"{stats['mrays_per_s']:.2f} Mrays/s, "
+        f"{time.perf_counter() - t0:.2f}s total"
+    )
+    return 0
+
+
+def cmd_animate(args) -> int:
+    """Animated flythrough (config 5, BASELINE.json:11): one PNG per frame
+    along the scene's camera path; accumulation resets on camera move
+    (SURVEY.md §3.5)."""
+    _maybe_cpu(args)
+    from tpurt.render import framebuffer as fb
+    from tpurt.render import render_scene
+    from tpurt.render.png import write_png
+    from tpurt.scene.loader import load_scene
+    from tpurt.scene.procedural import flythrough_cameras
+
+    config = _build_config(args)
+    scene = load_scene(config.scene)
+    cams = flythrough_cameras(config.scene, args.frames)
+    os.makedirs(args.out_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    total_rays = 0.0
+    for f, cam in enumerate(cams):
+        state, stats = render_scene(config, scene=scene, camera=cam)
+        total_rays += stats["rays_traced"]
+        path = os.path.join(args.out_dir, f"frame_{f:04d}.png")
+        write_png(path, fb.to_png_array(state, config.exposure))
+        if args.verbose:
+            print(f"  frame {f + 1}/{len(cams)}: {stats['mrays_per_s']:.2f} "
+                  f"Mrays/s → {path}")
+    elapsed = time.perf_counter() - t0
+    print(
+        f"{len(cams)} frames → {args.out_dir} in {elapsed:.1f}s "
+        f"({elapsed / len(cams) * 1e3:.0f} ms/frame, "
+        f"{total_rays / elapsed / 1e6:.2f} Mrays/s)"
+    )
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    devs = jax.devices()
+    print(f"jax {jax.__version__}, {len(devs)} device(s):")
+    for d in devs:
+        print(f"  [{d.id}] {d} platform={d.platform}")
+    from tpurt.utils.config import PRESETS
+
+    print("presets:", ", ".join(sorted(PRESETS)))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tpurt",
+                                 description="TPU-native ray tracer")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render one config to a PNG")
+    _add_config_overrides(r)
+    r.add_argument("--out", default="out.png")
+    r.add_argument("--checkpoint", help="write FrameState .npz after render")
+    r.add_argument("--resume", help="resume from a FrameState .npz")
+    r.add_argument("--profile", help="write a jax.profiler trace to this dir")
+    r.add_argument("--verbose", "-v", action="store_true")
+    r.set_defaults(fn=cmd_render)
+
+    a = sub.add_parser("animate", help="render a camera flythrough")
+    _add_config_overrides(a)
+    a.add_argument("--frames", type=int, default=8)
+    a.add_argument("--out-dir", default="frames")
+    a.add_argument("--verbose", "-v", action="store_true")
+    a.set_defaults(fn=cmd_animate)
+
+    i = sub.add_parser("info", help="show devices and presets")
+    i.add_argument("--cpu", action="store_true")
+    i.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+
+    profile_dir = getattr(args, "profile", None)
+    if profile_dir:
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            rc = args.fn(args)
+        print(f"profiler trace → {profile_dir}")
+        return rc
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

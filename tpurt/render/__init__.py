@@ -40,9 +40,15 @@ def build_accel(config: RenderConfig, ds, meta):
     total_instanced = sum(
         meta.mesh_tri_ranges[m][1] for m in meta.inst_mesh
     )
-    kind = config.resolved_intersector(total_instanced)
+    kind = config.resolved_intersector(
+        total_instanced, jax.devices()[0].platform
+    )
     if kind == "brute":
         return None
+    if kind == "bvh_packet":
+        from tpurt.bvh.cluster import build_packet_accel
+
+        return build_packet_accel(ds, meta)
     import functools
 
     from tpurt.bvh import build_scene_accel

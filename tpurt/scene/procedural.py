@@ -406,3 +406,33 @@ PRESET_BUILDERS = {
     "cornell_pt": lambda: cornell_box(True),
     "sponza": sponza_standin,
 }
+
+
+def flythrough_cameras(scene_name: str, n_frames: int):
+    """Camera path for ``tpurt animate`` (SURVEY.md C13 "animated flythrough").
+
+    Sponza has the scripted atrium path (BASELINE.json:11); other scenes
+    get a 90° orbit around their preset camera target.
+    """
+    if scene_name == "sponza":
+        return sponza_flythrough(n_frames)
+    import numpy as np
+
+    from tpurt.core.camera import orbit_camera
+    from tpurt.scene.loader import load_scene
+
+    scene = load_scene(scene_name)
+    cam = scene.camera
+    center = np.asarray(cam.look_at, np.float32)
+    offset = np.asarray(cam.position, np.float32) - center
+    radius = float(np.linalg.norm(offset))
+    theta0 = float(np.arctan2(offset[0], offset[2]))
+    phi0 = float(np.arcsin(np.clip(offset[1] / max(radius, 1e-6), -1, 1)))
+    return [
+        orbit_camera(
+            center, radius,
+            theta0 + 0.5 * np.pi * f / max(n_frames - 1, 1), phi0,
+            vfov_deg=float(np.asarray(cam.vfov_deg)),
+        )
+        for f in range(n_frames)
+    ]
