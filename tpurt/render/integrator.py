@@ -156,10 +156,18 @@ def path_trace_rays(
 
 def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
                       config: RenderConfig):
-    """Closest/any-hit pair: two-level BVH when ``accel`` given, else dense
-    brute force (tiny scenes / oracle)."""
+    """Closest/any-hit pair: Pallas packet kernel (PacketAccel), two-level
+    jnp BVH (SceneAccel), or dense brute force (tiny scenes / oracle)."""
     if accel is None:
         return make_brute_force(ds, meta)
+    from tpurt.bvh.cluster import PacketAccel
+
+    if isinstance(accel, PacketAccel) or (
+        isinstance(accel, tuple) and hasattr(accel, "tri_rows")
+    ):
+        from tpurt.kernels.packet import make_packet_intersector
+
+        return make_packet_intersector(ds, accel)
     from tpurt.bvh.two_level import make_two_level_intersector
 
     return make_two_level_intersector(ds, accel, leaf_size=config.bvh_leaf_size)

@@ -34,11 +34,16 @@ class RenderConfig:
     n_sample_shards: int = 1
     n_tile_shards: int = 1
 
-    def resolved_intersector(self, num_instanced_tris: int) -> str:
+    def resolved_intersector(self, num_instanced_tris: int,
+                             platform: str = "tpu") -> str:
         if self.intersector != "auto":
             return self.intersector
         # Dense all-pairs wins below ~128 triangles (zero gathers, pure VPU).
-        return "brute" if num_instanced_tris <= 128 else "bvh"
+        if num_instanced_tris <= 128:
+            return "brute"
+        # The Pallas packet kernel is the production traversal on TPU; the
+        # jnp two-level BVH is the oracle/portable path elsewhere.
+        return "bvh_packet" if platform == "tpu" else "bvh"
 
 
 # The five-config benchmark ladder (BASELINE.json:7–11, SURVEY.md §6).
