@@ -27,6 +27,10 @@ def write_png(path: str, image_u8: np.ndarray) -> None:
     """Write an (H, W, 3) uint8 array as a PNG file."""
     img = np.ascontiguousarray(image_u8)
     assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3, img.shape
+    from tpurt.utils import native
+
+    if native.png_write(path, img):
+        return
     h, w, _ = img.shape
     # filter byte 0 (None) per scanline
     raw = np.concatenate([np.zeros((h, 1), np.uint8), img.reshape(h, -1)], axis=1)

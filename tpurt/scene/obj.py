@@ -91,18 +91,51 @@ def load_obj(path: str, scene: Optional[Scene] = None,
 
     Each (position, normal) pair becomes one output vertex (OBJ's dual
     indexing flattened), so the device packer stays a pure SoA gather.
+    Geometry parsing goes through the C++ fast path (tpurt.utils.native,
+    the reference's native-loader analog — SURVEY.md C5) when available;
+    this pure-Python parser is the fallback and differential twin.
     """
     if scene is None:
         scene = Scene(name=os.path.basename(path))
+    if default_material is None:
+        default_material = Material(name="obj_default")
+    cur_mat = scene.add_material(default_material)
+
+    from tpurt.utils import native
+
+    parsed = native.obj_parse(path)
+    if parsed is not None:
+        verts_np, normals_np, tri_v, tri_n, face_slot, names, mtllib = parsed
+        if tri_v.shape[0] == 0:
+            raise ValueError(f"OBJ {path!r} contains no faces")
+        mtl = (
+            parse_mtl(os.path.join(os.path.dirname(path), mtllib))
+            if mtllib else {}
+        )
+        slot_to_mat = np.asarray(
+            [scene.add_material(mtl.get(n, Material(name=n)))
+             for n in names] + [cur_mat],
+            np.int32,
+        )
+        face_mats_arr = slot_to_mat[
+            np.where(face_slot >= 0, face_slot, len(names))
+        ]
+        corner_arr = np.stack(
+            [tri_v.reshape(-1).astype(np.int64),
+             tri_n.reshape(-1).astype(np.int64)], axis=1
+        )
+        return _finish_obj(
+            scene, path, verts_np,
+            normals_np if normals_np.shape[0] else None,
+            corner_arr, face_mats_arr,
+        )
+
     positions: List[List[float]] = []
     normals: List[List[float]] = []
     # corner stream: (vi, ni) and per-face material id
     corners: List[Tuple[int, int]] = []
     face_mats: List[int] = []
     mat_lookup: Dict[str, int] = {}
-    if default_material is None:
-        default_material = Material(name="obj_default")
-    cur_mat = scene.add_material(default_material)
 
     mtl: Dict[str, Material] = {}
     with open(path, "r", errors="replace") as f:
@@ -138,9 +171,17 @@ def load_obj(path: str, scene: Optional[Scene] = None,
 
     pos = np.asarray(positions, np.float32)
     nrm = np.asarray(normals, np.float32) if normals else None
+    return _finish_obj(
+        scene, path, pos, nrm, np.asarray(corners, np.int64),
+        np.asarray(face_mats, np.int32),
+    )
 
+
+def _finish_obj(scene: Scene, path: str, pos: np.ndarray,
+                nrm: Optional[np.ndarray], corner_arr: np.ndarray,
+                face_mats: np.ndarray) -> Scene:
+    """Shared tail: flatten dual indexing, register mesh + instance."""
     # Flatten dual indexing: unique (vi, ni) pairs become vertices.
-    corner_arr = np.asarray(corners, np.int64)  # (3T, 2)
     uniq, inverse = np.unique(corner_arr, axis=0, return_inverse=True)
     verts = pos[uniq[:, 0]]
     indices = inverse.reshape(-1, 3).astype(np.int32)
