@@ -179,10 +179,13 @@ def _median_split_tree(bmin: np.ndarray, bmax: np.ndarray) -> _Tree:
 def build_packet_accel(ds: DeviceScene, meta: SceneMeta,
                        leaf_rows: int | None = None) -> PacketAccel:
     """Flatten instances → Morton sort → pack rows → median-split tree."""
-    tv0 = np.asarray(ds.tri_v0)
-    tv1 = np.asarray(ds.tri_v1)
-    tv2 = np.asarray(ds.tri_v2)
-    inst_tf = np.asarray(ds.inst_transform)
+    import jax
+
+    # one batched device→host readback (separate np.asarray pulls cost
+    # seconds each over the tunneled TPU backend)
+    tv0, tv1, tv2, inst_tf = jax.device_get(
+        (ds.tri_v0, ds.tri_v1, ds.tri_v2, ds.inst_transform)
+    )
     v0l, v1l, v2l, tril, instl = [], [], [], [], []
     for inst_id, mesh_id in enumerate(meta.inst_mesh):
         start, count = meta.mesh_tri_ranges[mesh_id]

@@ -1,24 +1,30 @@
 """Packet BVH traversal — the Pallas TPU replacement for ``traceRayEXT``.
 
-One kernel instance owns a *packet* of 1024 rays (an (8, 128) register tile
-per SoA field) and walks the packet-BVH (tpurt.bvh.cluster) in lockstep:
+A *packet* of 1024 rays (one (8, 128) VPU tile per SoA field) walks the
+packet-BVH (tpurt.bvh.cluster) in lockstep behind ONE scalar node pointer:
 
-  * ONE scalar node pointer per packet — node AABB/first/count/skip live in
-    SMEM (scalar memory), so the walk is pure scalar control flow;
-  * every box test is ~20 dense VPU ops over the whole packet;
+  * node AABB/first/count/skip scalars live in SMEM, so the walk is pure
+    scalar control flow — no gathers anywhere;
+  * every box test is ~20 dense VPU ops over the whole packet; descent rule:
+    enter a subtree iff ANY ray in the packet hits the node box;
   * a leaf fetches triangle rows (12 tris packed per 128-lane row) with a
     data-dependent row fetch and tests each triangle against all 1024 rays
-    via static lane extracts — measured 2.9 ns per triangle-vs-packet;
-  * descent rule: enter a subtree iff ANY ray in the packet hits the node
-    box (one vector→scalar reduction per node). The outer loop is
-    strip-mined (STRIP masked steps per while-iteration) because
-    per-step data-dependent loop conditions cost ~50× (measured 244 ns vs
-    5 ns per step).
+    via static lane extracts.
+
+The per-step critical path is a serialized scalar→vector→scalar round trip
+(SMEM node fetch → box test → any() reduction → next pointer), a few
+hundred ns in which the VPU is mostly idle. To hide that latency the kernel
+**interleaves ILEAVE independent packet walks per instance** — the TPU
+analog of GPU warp scheduling: while walk 0 waits on its scalar chain,
+walks 1..K-1 issue their vector work. Best-hit state lives in the output
+refs (mutated under ``pl.when``), so the march loop carries only scalars.
 
 Rays with t_max < 0 are dead lanes (their best_t starts negative, so every
-box/triangle test fails). Any-hit mode (shadow rays, SURVEY.md G4) reuses
-closest-hit: a confirmed hit sets the lane's best_t to -1 (killing it) and
-the whole packet exits early once every live lane has a hit.
+box/triangle test fails). The wrapper pre-sorts rays by origin-Morton ×
+direction-Morton (Garanzha & Loop style), which tightens packet frusta AND
+sweeps dead lanes into trailing packets that exit after one root test.
+Any-hit mode (shadow rays, SURVEY.md G4) kills a lane on its first hit and
+exits the whole walk once every live lane is occluded.
 
 No recursion, no per-ray stack, no gathers — cf. SURVEY.md §7 "divergent
 traversal on a lockstep machine".
@@ -37,7 +43,16 @@ from jax.experimental.pallas import tpu as pltpu
 from tpurt.bvh.cluster import LANES_PER_TRI, TPR, PacketAccel
 from tpurt.render.intersectors import Hit
 
-PACKET = 1024  # rays per packet: one (8, 128) VPU tile
+import os as _os
+
+# Packet geometry (env-tunable for benchmarking; defaults are the measured
+# sweet spot on TPU v5e):
+#   PACKET — rays per walk; a (PACKET/128, 128) VPU tile per SoA field.
+#     The per-node scalar chain (SMEM fetch → box test → any() → next) is
+#     latency-bound, so wider packets amortize it over more rays.
+#   ILEAVE — independent walks per kernel instance.
+PACKET = int(_os.environ.get("TPURT_PACKET_SIZE", 2048))
+ILEAVE = int(_os.environ.get("TPURT_ILEAVE", 1))
 STRIP = 8  # masked steps per outer while iteration
 EPS_DENOM = 1e-12
 BIG = 3.4e38
@@ -50,11 +65,17 @@ def _safe_inv(d):
 
 
 def _tri_rows_test(row, ox, oy, oz, dx, dy, dz, bt, bu, bv, bs, any_hit):
-    """Test the 12 triangles of one fetched row against the packet.
+    """Test the 12 triangles of one fetched row against one packet.
 
     Möller–Trumbore, double-sided, identical epsilons to
     tpurt.core.vecmath.intersect_tris (the jnp twin, SURVEY.md §4.1).
+
+    The 12 tests are computed INDEPENDENTLY (no best-t threading between
+    them) and combined with a min-tree afterwards: a serial bt chain makes
+    ~300 dependent vector ops per row (each paying full VPU latency), while
+    independent tests pipeline at issue rate.
     """
+    cand = []
     for j in range(TPR):
         base = j * LANES_PER_TRI
         v0x = row[0, base + 0]
@@ -89,15 +110,33 @@ def _tri_rows_test(row, ox, oy, oz, dx, dy, dz, bt, bu, bv, bs, any_hit):
             & (v >= 0.0)
             & (u + v <= 1.0)
             & (t > 0.0)
-            & (t < bt)
         )
-        if any_hit:
-            bt = jnp.where(ok, -1.0, bt)  # kill the lane on first hit
-        else:
-            bt = jnp.where(ok, t, bt)
-            bu = jnp.where(ok, u, bu)
-            bv = jnp.where(ok, v, bv)
-        bs = jnp.where(ok, sl, bs)
+        cand.append((jnp.where(ok, t, BIG), u, v, sl))
+
+    # min-tree over the 12 candidates (4 levels, independent ops)
+    while len(cand) > 1:
+        nxt = []
+        for a in range(0, len(cand) - 1, 2):
+            (ta, ua, va, sa), (tb, ub, vb, sb) = cand[a], cand[a + 1]
+            take_b = tb < ta
+            nxt.append((
+                jnp.minimum(ta, tb),
+                jnp.where(take_b, ub, ua),
+                jnp.where(take_b, vb, va),
+                jnp.where(take_b, sb, sa),
+            ))
+        if len(cand) % 2:
+            nxt.append(cand[-1])
+        cand = nxt
+    tm, um, vm, sm = cand[0]
+    win = tm < bt
+    if any_hit:
+        bt = jnp.where(win, -1.0, bt)  # kill the lane on first hit
+    else:
+        bt = jnp.where(win, tm, bt)
+        bu = jnp.where(win, um, bu)
+        bv = jnp.where(win, vm, bv)
+    bs = jnp.where(win, sm, bs)
     return bt, bu, bv, bs
 
 
@@ -105,27 +144,42 @@ def _packet_kernel(
     bminx, bminy, bminz, bmaxx, bmaxy, bmaxz,  # SMEM f32 (n_nodes,)
     first_r, count_r, skip_r,  # SMEM i32 (n_nodes,)
     tri_ref,  # VMEM (R, 128) f32
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,  # (8,128)
-    bt_ref, bu_ref, bv_ref, bs_ref,  # outs (8,128)
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,  # (SUB·K,128)
+    bt_ref, bu_ref, bv_ref, bs_ref, stat_ref,  # outs (SUB·K,128)
     *,
     n_nodes: int,
     any_hit: bool,
 ):
-    ox = ox_ref[:]
-    oy = oy_ref[:]
-    oz = oz_ref[:]
-    dx = dx_ref[:]
-    dy = dy_ref[:]
-    dz = dz_ref[:]
-    ivx = _safe_inv(dx)
-    ivy = _safe_inv(dy)
-    ivz = _safe_inv(dz)
-    tmax = tmax_ref[:]
-    alive = tmax >= 0.0
-    bt0 = jnp.where(alive, tmax, -1.0)
+    K = ILEAVE
+    SUB = PACKET // 128  # sublanes per walk
+    sl = lambda ref, k: ref[k * SUB:(k + 1) * SUB, :]
+    walks = []
+    for k in range(K):
+        ox = sl(ox_ref, k)
+        oy = sl(oy_ref, k)
+        oz = sl(oz_ref, k)
+        dx = sl(dx_ref, k)
+        dy = sl(dy_ref, k)
+        dz = sl(dz_ref, k)
+        ivx = _safe_inv(dx)
+        ivy = _safe_inv(dy)
+        ivz = _safe_inv(dz)
+        tmax = sl(tmax_ref, k)
+        alive = tmax >= 0.0
+        # best-hit state lives in the output refs, mutated under pl.when —
+        # the march loop carries only the K node-pointer scalars
+        bt_ref[k * SUB:(k + 1) * SUB, :] = jnp.where(alive, tmax, -1.0)
+        bu_ref[k * SUB:(k + 1) * SUB, :] = jnp.zeros_like(tmax)
+        bv_ref[k * SUB:(k + 1) * SUB, :] = jnp.zeros_like(tmax)
+        bs_ref[k * SUB:(k + 1) * SUB, :] = jnp.full_like(tmax, -1.0)
+        walks.append(
+            dict(ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+                 ivx=ivx, ivy=ivy, ivz=ivz,
+                 oix=ox * ivx, oiy=oy * ivy, oiz=oz * ivz, alive=alive)
+        )
 
-    def inner(_, carry):
-        node, bt, bu, bv, bs = carry
+    def step_walk(k, node, n_steps, n_rows):
+        w = walks[k]
         live = node < n_nodes
         nid = jnp.where(live, node, 0)
         bnx = bminx[nid]
@@ -134,16 +188,16 @@ def _packet_kernel(
         bxx = bmaxx[nid]
         bxy = bmaxy[nid]
         bxz = bmaxz[nid]
-        fst = first_r[nid]
         cnt = count_r[nid]
         skp = skip_r[nid]
 
-        t0x = (bnx - ox) * ivx
-        t1x = (bxx - ox) * ivx
-        t0y = (bny - oy) * ivy
-        t1y = (bxy - oy) * ivy
-        t0z = (bnz - oz) * ivz
-        t1z = (bxz - oz) * ivz
+        bt = sl(bt_ref, k)
+        t0x = bnx * w["ivx"] - w["oix"]
+        t1x = bxx * w["ivx"] - w["oix"]
+        t0y = bny * w["ivy"] - w["oiy"]
+        t1y = bxy * w["ivy"] - w["oiy"]
+        t0z = bnz * w["ivz"] - w["oiz"]
+        t1z = bxz * w["ivz"] - w["oiz"]
         tn = jnp.maximum(
             jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
             jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
@@ -155,49 +209,79 @@ def _packet_kernel(
         boxhit = tn <= tf
         want = jnp.any(boxhit) & live
         is_leaf = cnt > 0
+        do_leaf = want & is_leaf
 
-        def do_leaf(args):
-            def row_body(r, b):
+        @pl.when(do_leaf)
+        def _():
+            fst = first_r[nid]
+
+            def row_body(r, c):
                 row = tri_ref[pl.ds(fst + r, 1), :]
-                return _tri_rows_test(
-                    row, ox, oy, oz, dx, dy, dz, *b, any_hit
+                nbt, nbu, nbv, nbs = _tri_rows_test(
+                    row, w["ox"], w["oy"], w["oz"],
+                    w["dx"], w["dy"], w["dz"],
+                    sl(bt_ref, k), sl(bu_ref, k), sl(bv_ref, k),
+                    sl(bs_ref, k), any_hit,
                 )
+                bt_ref[k * SUB:(k + 1) * SUB, :] = nbt
+                bu_ref[k * SUB:(k + 1) * SUB, :] = nbu
+                bv_ref[k * SUB:(k + 1) * SUB, :] = nbv
+                bs_ref[k * SUB:(k + 1) * SUB, :] = nbs
+                return c
 
-            return jax.lax.fori_loop(0, cnt, row_body, args)
+            jax.lax.fori_loop(0, cnt, row_body, 0)
 
-        bt, bu, bv, bs = jax.lax.cond(
-            want & is_leaf, do_leaf, lambda a: a, (bt, bu, bv, bs)
-        )
         nxt = jnp.where(want & ~is_leaf, nid + 1, skp)
         node = jnp.where(live, nxt, node)
-        return node, bt, bu, bv, bs
+        # profiling counters (SURVEY.md §5: node visits / leaf rows per
+        # frame accumulated inside G2)
+        n_steps = n_steps + jnp.where(live, 1, 0)
+        n_rows = n_rows + jnp.where(do_leaf, cnt, 0)
+        return node, n_steps, n_rows
+
+    def inner(_, carry):
+        nodes, n_steps, n_rows = carry
+        new_nodes = []
+        for k in range(K):
+            nk, n_steps, n_rows = step_walk(k, nodes[k], n_steps, n_rows)
+            new_nodes.append(nk)
+        return tuple(new_nodes), n_steps, n_rows
 
     def outer(carry):
-        return jax.lax.fori_loop(0, STRIP, inner, carry)
+        nodes, n_steps, n_rows = jax.lax.fori_loop(
+            0, STRIP, inner, carry[:3]
+        )
+        done = jnp.asarray(True)
+        for k in range(K):
+            dk = nodes[k] >= n_nodes
+            if any_hit:
+                dk = dk | ~jnp.any(
+                    (sl(bs_ref, k) < 0.0) & walks[k]["alive"]
+                )
+            done = done & dk
+        return nodes, n_steps, n_rows, done
 
     def cond(carry):
-        node = carry[0]
-        running = node < n_nodes
-        if any_hit:
-            # early exit once every live lane found an occluder
-            running = running & jnp.any(carry[1] >= 0.0)
-        return running
+        return ~carry[3]
 
     init = (
+        tuple(jnp.int32(0) for _ in range(K)),
         jnp.int32(0),
-        bt0,
-        jnp.zeros_like(bt0),
-        jnp.zeros_like(bt0),
-        jnp.full_like(bt0, -1.0),
+        jnp.int32(0),
+        jnp.asarray(False),
     )
-    _, bt, bu, bv, bs = jax.lax.while_loop(cond, outer, init)
+    _, n_steps, n_rows, _ = jax.lax.while_loop(cond, outer, init)
+
     if any_hit:
-        # occluded lanes carry bt == -1 with bs >= 0; report via bs only
-        bt = jnp.where(bs >= 0.0, 0.0, BIG)
-    bt_ref[:] = bt
-    bu_ref[:] = bu
-    bv_ref[:] = bv
-    bs_ref[:] = bs
+        # occluded lanes carry bs >= 0; normalize bt for the wrapper
+        bt_ref[:] = jnp.where(bs_ref[:] >= 0.0, 0.0, BIG)
+    # group totals: sublanes 0–3 node steps, 4–7 leaf rows (summed walks)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (SUB * K, 128), 0)
+    stat_ref[:] = jnp.where(
+        sub % 8 < 4,
+        n_steps.astype(jnp.float32),
+        n_rows.astype(jnp.float32),
+    )
 
 
 def _expand_bits7(v):
@@ -213,25 +297,30 @@ def _expand_bits7(v):
 def _ray_sort_keys(org, dirn, t_max_vec, scene_lo, scene_hi):
     """Coherence keys for packet formation (Garanzha & Loop 2010 style).
 
-    21-bit Morton of the ray origin (quantized to the scene box) in the
-    high bits, direction octant in the low 3. Dead rays (t_max < 0) get the
-    max key — the sort sweeps them into trailing packets whose root box
-    test fails immediately (packet-granularity stream compaction, the G8
-    analog at trace level)."""
+    Origin-major, direction-minor: 18-bit Morton of the ray origin
+    (quantized to the scene box) in the high bits, 12-bit Morton of the
+    direction below it. Rays sharing an origin cell (e.g. ALL camera rays)
+    are then clustered by direction cone — a packet becomes a tight frustum
+    instead of a screen-wide pixel strip. Dead rays (t_max < 0) get the max
+    key — the sort sweeps them into trailing packets whose root box test
+    fails immediately (packet-granularity stream compaction, the G8 analog
+    at trace level)."""
     ext = jnp.maximum(scene_hi - scene_lo, 1e-12)
     q = jnp.clip((org - scene_lo) / ext, 0.0, 1.0)
-    g = jnp.minimum((q * 128.0).astype(jnp.uint32), jnp.uint32(127))
-    morton = (
+    g = jnp.minimum((q * 64.0).astype(jnp.uint32), jnp.uint32(63))
+    morton_o = (
         (_expand_bits7(g[:, 0]) << 2)
         | (_expand_bits7(g[:, 1]) << 1)
         | _expand_bits7(g[:, 2])
-    )
-    octant = (
-        (dirn[:, 0] >= 0).astype(jnp.uint32) << 2
-        | (dirn[:, 1] >= 0).astype(jnp.uint32) << 1
-        | (dirn[:, 2] >= 0).astype(jnp.uint32)
-    )
-    key = (morton << 3) | octant
+    )  # 18 bits
+    d = jnp.clip(dirn * 0.5 + 0.5, 0.0, 1.0)
+    gd = jnp.minimum((d * 16.0).astype(jnp.uint32), jnp.uint32(15))
+    morton_d = (
+        (_expand_bits7(gd[:, 0]) << 2)
+        | (_expand_bits7(gd[:, 1]) << 1)
+        | _expand_bits7(gd[:, 2])
+    )  # 12 bits
+    key = (morton_o << 12) | morton_d
     return jnp.where(t_max_vec < 0.0, jnp.uint32(0xFFFFFFFF), key)
 
 
@@ -249,8 +338,9 @@ def _trace(org, dirn, t_max_vec, tables, *, n_nodes, any_hit, interpret,
     (bminx, bminy, bminz, bmaxx, bmaxy, bmaxz,
      first_r, count_r, skip_r, tri_rows) = tables
     n = org.shape[0]
-    n_packets = max(1, math.ceil(n / PACKET))
-    padded = n_packets * PACKET
+    group = PACKET * ILEAVE
+    n_groups = max(1, math.ceil(n / group))
+    padded = n_groups * group
 
     perm = None
     if ray_sort and n > PACKET:
@@ -268,27 +358,30 @@ def _trace(org, dirn, t_max_vec, tables, *, n_nodes, any_hit, interpret,
     dz = _pack(dirn[:, 2], padded, 1.0)
     tm = _pack(t_max_vec, padded, -1.0)
 
+    rows = (PACKET // 128) * ILEAVE
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    tile = lambda: pl.BlockSpec((8, 128), lambda i: (i, 0),
+    tile = lambda: pl.BlockSpec((rows, 128), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((n_packets * 8, 128), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((n_groups * rows, 128), jnp.float32)
 
     kernel = functools.partial(
         _packet_kernel, n_nodes=n_nodes, any_hit=any_hit
     )
-    bt, bu, bv, bs = pl.pallas_call(
+    bt, bu, bv, bs, stat = pl.pallas_call(
         kernel,
-        grid=(n_packets,),
+        grid=(n_groups,),
         in_specs=[smem()] * 9 + [full()] + [tile()] * 7,
-        out_specs=[tile()] * 4,
-        out_shape=[out_shape] * 4,
+        out_specs=[tile()] * 5,
+        out_shape=[out_shape] * 5,
         interpret=interpret,
     )(
         bminx, bminy, bminz, bmaxx, bmaxy, bmaxz,
         first_r, count_r, skip_r, tri_rows,
         ox, oy, oz, dx, dy, dz, tm,
     )
+    # per-group counters: node steps at sublane 0, leaf rows at sublane 4
+    stats = stat.reshape(n_groups, rows, 128)[:, ::4, 0][:, :2]  # (G, 2)
     unpack = lambda a: a.reshape(padded)[:n]
     bt, bu, bv, bs = unpack(bt), unpack(bu), unpack(bv), unpack(bs)
     if perm is not None:
@@ -296,7 +389,7 @@ def _trace(org, dirn, t_max_vec, tables, *, n_nodes, any_hit, interpret,
             jnp.arange(n, dtype=jnp.int32)
         )
         bt, bu, bv, bs = bt[inv], bu[inv], bv[inv], bs[inv]
-    return bt, bu, bv, bs
+    return bt, bu, bv, bs, stats
 
 
 def _use_interpret() -> bool:
@@ -344,13 +437,7 @@ def make_packet_intersector(ds, accel: PacketAccel, *,
         tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
         return jnp.where(jnp.isfinite(tm), tm, BIG)
 
-    def closest(org, dirn, t_min, t_max) -> Hit:
-        del t_min  # bounce origins are offset; the kernel uses t > 0
-        bt, bu, bv, bs = _trace(
-            org, dirn, _tmax_vec(org, t_max), tables,
-            n_nodes=n_nodes, any_hit=False, interpret=interpret,
-            ray_sort=ray_sort, scene_lo=scene_lo, scene_hi=scene_hi,
-        )
+    def _hit_from(bt, bu, bv, bs):
         slot = bs.astype(jnp.int32)
         valid = slot >= 0
         slot_c = jnp.clip(slot, 0, n_prims - 1)
@@ -363,13 +450,34 @@ def make_packet_intersector(ds, accel: PacketAccel, *,
             valid=valid,
         )
 
+    def closest(org, dirn, t_min, t_max) -> Hit:
+        del t_min  # bounce origins are offset; the kernel uses t > 0
+        bt, bu, bv, bs, _ = _trace(
+            org, dirn, _tmax_vec(org, t_max), tables,
+            n_nodes=n_nodes, any_hit=False, interpret=interpret,
+            ray_sort=ray_sort, scene_lo=scene_lo, scene_hi=scene_hi,
+        )
+        return _hit_from(bt, bu, bv, bs)
+
     def any_hit(org, dirn, t_min, t_max) -> jnp.ndarray:
         del t_min
-        _, _, _, bs = _trace(
+        _, _, _, bs, _ = _trace(
             org, dirn, _tmax_vec(org, t_max), tables,
             n_nodes=n_nodes, any_hit=True, interpret=interpret,
             ray_sort=ray_sort, scene_lo=scene_lo, scene_hi=scene_hi,
         )
         return bs >= 0.0
 
+    def closest_with_stats(org, dirn, t_min, t_max):
+        """closest() plus per-group (node steps, leaf rows) counters —
+        the SURVEY.md §5 profiling interface."""
+        del t_min
+        bt, bu, bv, bs, stats = _trace(
+            org, dirn, _tmax_vec(org, t_max), tables,
+            n_nodes=n_nodes, any_hit=False, interpret=interpret,
+            ray_sort=ray_sort, scene_lo=scene_lo, scene_hi=scene_hi,
+        )
+        return _hit_from(bt, bu, bv, bs), stats
+
+    closest.with_stats = closest_with_stats
     return closest, any_hit
