@@ -167,7 +167,9 @@ def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
     ):
         from tpurt.kernels.packet import make_packet_intersector
 
-        return make_packet_intersector(ds, accel)
+        return make_packet_intersector(
+            ds, accel, ray_sort=config.packet_ray_sort
+        )
     from tpurt.bvh.two_level import make_two_level_intersector
 
     return make_two_level_intersector(ds, accel, leaf_size=config.bvh_leaf_size)
@@ -239,13 +241,23 @@ def render_batch(
 ) -> jnp.ndarray:
     """One progressive batch over the full frame: returns
     ((H, W, 3) f32 radiance *sum*, (2,) ray counts [closest, shadow]).
-    FrameState divides the sum by its sample count at resolve time."""
+    FrameState divides the sum by its sample count at resolve time.
+
+    Pixels are traced in 32×32 screen-tile order (a STATIC permutation) so
+    the packet intersector's 1024-ray packets are tight frusta without any
+    runtime sort; radiance is scattered back to row-major by absolute pixel
+    id (order never affects values — RNG keys off pixel id, SURVEY.md §4.4).
+    """
     w, h = config.width, config.height
-    px, py = full_frame_pixels(w, h)
+    from tpurt.core.camera import full_frame_pixels_tiled
+
+    px, py = full_frame_pixels_tiled(w, h)
     total, counts = render_pixels(
         ds, cam, seed, sample0, accel, px, py, meta=meta, config=config
     )
-    return total.reshape(h, w, 3), counts
+    linear = py.astype(jnp.int32) * w + px.astype(jnp.int32)
+    img = jnp.zeros((h * w, 3), jnp.float32).at[linear].set(total)
+    return img.reshape(h, w, 3), counts
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "config"))

@@ -26,6 +26,10 @@ class RenderConfig:
     intersector: str = "auto"  # "auto" | "brute" | "bvh" | "bvh_pallas"
     # BVH tuning
     bvh_leaf_size: int = 4
+    # runtime ray sorting before packetization (the megakernel already
+    # traces in static screen-tile order, so this is off by default; turn
+    # on for workloads whose ray order is incoherent end-to-end)
+    packet_ray_sort: bool = False
     # wavefront/compaction pipeline (G8/G9) vs. megakernel
     pipeline: str = "mega"  # "mega" | "wavefront"
     wavefront_capacity: int = 1 << 16  # ring-buffer lanes (G8)
