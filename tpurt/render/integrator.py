@@ -73,10 +73,11 @@ def path_trace_rays(
         )
         return radiance, rays_traced
 
-    # The bounce loop is a lax.fori_loop, not a Python unroll: the traced
-    # program contains ONE traversal instance regardless of max_bounces
-    # (smaller programs compile far faster, esp. through the remote-compile
-    # service of the tunneled axon backend).
+    # The bounce loop is a STATIC Python unroll. A lax.fori_loop would keep
+    # the traced program smaller, but a pallas_call inside fori_loop was
+    # reproduced crashing the TPU worker at specific grid sizes (e.g.
+    # 480k rays / 235 packet groups) — unrolling routes around the backend
+    # fault, and max_bounces ≤ 4 keeps compiles manageable.
     def bounce_step(bounce, carry):
         org, dirn, radiance, throughput, alive, allow_emission, rays = carry
         rays = rays.at[0].add(jnp.sum(alive.astype(jnp.float32)))
@@ -140,7 +141,7 @@ def path_trace_rays(
         )
         return org, dirn, radiance, throughput, alive, allow_emission, rays
 
-    init = (
+    carry = (
         org,
         dirn,
         radiance,
@@ -149,8 +150,9 @@ def path_trace_rays(
         jnp.ones(n, bool),  # allow_emission
         rays_traced,
     )
-    final = jax.lax.fori_loop(0, max_bounces + 1, bounce_step, init)
-    radiance, rays_traced = final[2], final[6]
+    for bounce in range(max_bounces + 1):
+        carry = bounce_step(bounce, carry)
+    radiance, rays_traced = carry[2], carry[6]
     return radiance, rays_traced
 
 
@@ -196,37 +198,39 @@ def render_pixels(
     under any sharding (SURVEY.md §4.4)."""
     w, h = config.width, config.height
     closest, any_hit = make_intersectors(ds, accel, meta=meta, config=config)
-    pixel_id = py.astype(jnp.uint32) * jnp.uint32(w) + px.astype(jnp.uint32)
+    spp = config.spp_per_batch
+    n_px = px.shape[0]
 
-    def one_sample(s, carry):
-        acc, counts = carry
-        sampler = PixelSampler.make(
-            seed, jnp.asarray(sample0, jnp.uint32) + s.astype(jnp.uint32),
-            pixel_id,
-        )
-        uj = sampler.u2(TAG_JITTER)
-        org, dirn = camera_rays(
-            cam, px, py, w, h, jitter=(uj[..., 0], uj[..., 1])
-        )
-        radiance, rays = path_trace_rays(
-            ds,
-            closest,
-            any_hit,
-            org,
-            dirn,
-            sampler,
-            max_bounces=config.max_bounces,
-            use_nee=config.use_nee,
-            shading_mode=config.shading_mode,
-        )
-        return acc + radiance, counts + rays
-
-    return jax.lax.fori_loop(
-        0,
-        config.spp_per_batch,
-        one_sample,
-        (jnp.zeros(px.shape + (3,), jnp.float32), jnp.zeros(2, jnp.float32)),
+    # Samples are flattened into the ray axis (sample-major blocks, so each
+    # sample's rays keep their screen-tile packet order): the whole batch is
+    # ONE trace per path segment instead of a fori over samples. Bigger
+    # dispatches amortize fixed costs — and a Mosaic fault was reproduced
+    # when a pallas_call sat inside a sample fori_loop at some grid sizes.
+    px_r = jnp.tile(px, spp)
+    py_r = jnp.tile(py, spp)
+    pixel_id = (
+        py_r.astype(jnp.uint32) * jnp.uint32(w) + px_r.astype(jnp.uint32)
     )
+    sample_idx = jnp.asarray(sample0, jnp.uint32) + jnp.repeat(
+        jnp.arange(spp, dtype=jnp.uint32), n_px
+    )
+    sampler = PixelSampler.make(seed, sample_idx, pixel_id)
+    uj = sampler.u2(TAG_JITTER)
+    org, dirn = camera_rays(
+        cam, px_r, py_r, w, h, jitter=(uj[..., 0], uj[..., 1])
+    )
+    radiance, rays = path_trace_rays(
+        ds,
+        closest,
+        any_hit,
+        org,
+        dirn,
+        sampler,
+        max_bounces=config.max_bounces,
+        use_nee=config.use_nee,
+        shading_mode=config.shading_mode,
+    )
+    return radiance.reshape(spp, n_px, 3).sum(axis=0), rays
 
 
 def render_batch(
