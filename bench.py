@@ -7,26 +7,22 @@ Blinn-Phong + mirror). ``vs_baseline`` is the ratio against the 150
 Mrays/sec/chip v5p target (BASELINE.json:5; no published reference numbers
 exist — BASELINE.md).
 
+The measured render runs in a SUBPROCESS with retries: the tunneled TPU
+worker on this box intermittently crashes under sustained load
+("TPU worker process crashed or restarted"), and a dead worker kills the
+whole client process — retrying in a fresh process is the only recovery.
+
 Usage: python bench.py [--scene bunny] [--width W] [--height H] [--spp N]
 """
 
 import argparse
 import json
+import subprocess
 import sys
 import time
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--scene", default="bunny")
-    ap.add_argument("--width", type=int, default=800)
-    ap.add_argument("--height", type=int, default=600)
-    ap.add_argument("--spp", type=int, default=8)
-    ap.add_argument("--spp-per-batch", type=int, default=4)
-    ap.add_argument("--max-bounces", type=int, default=2)
-    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
-    args = ap.parse_args()
-
+def child_main(args) -> int:
     import jax
 
     if args.cpu:
@@ -49,8 +45,8 @@ def main():
         args.scene,
         width=args.width,
         height=args.height,
-        spp=config.spp_per_batch,
-        spp_per_batch=config.spp_per_batch,
+        spp=1,
+        spp_per_batch=1,
         max_bounces=args.max_bounces,
     )
     t0 = time.perf_counter()
@@ -73,16 +69,61 @@ def main():
             "rays_traced": stats["rays_traced"],
             "elapsed_s": round(stats["elapsed_s"], 3),
             "warmup_s": round(warm_s, 3),
-            "frame_ms": round(
-                stats["elapsed_s"] / max(stats["spp"], 1) * 1e3
-                * config.spp_per_batch, 1,
-            ),
             "device": device,
             "platform": platform,
         },
     }
     print(json.dumps(result))
     return 0
+
+
+def make_parser():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="bunny")
+    ap.add_argument("--width", type=int, default=800)
+    ap.add_argument("--height", type=int, default=600)
+    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--spp-per-batch", type=int, default=2,
+                    dest="spp_per_batch")
+    ap.add_argument("--max-bounces", type=int, default=2,
+                    dest="max_bounces")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--retries", type=int, default=3)
+    return ap
+
+
+def main():
+    args = make_parser().parse_args()
+    if args._child:
+        return child_main(args)
+
+    cmd = [sys.executable, __file__, "--_child",
+           "--scene", args.scene, "--width", str(args.width),
+           "--height", str(args.height), "--spp", str(args.spp),
+           "--spp-per-batch", str(args.spp_per_batch),
+           "--max-bounces", str(args.max_bounces)]
+    if args.cpu:
+        cmd.append("--cpu")
+    last_err = ""
+    for attempt in range(args.retries):
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=1800)
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return 0
+        last_err = (r.stderr.splitlines() or ["?"])[-1][:200]
+        print(f"# attempt {attempt + 1} failed: {last_err}",
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": f"Mrays/sec/chip ({args.scene})",
+        "value": 0.0,
+        "unit": "Mrays/s",
+        "vs_baseline": 0.0,
+        "detail": {"error": last_err},
+    }))
+    return 1
 
 
 if __name__ == "__main__":

@@ -1,0 +1,69 @@
+"""Staged wave driver vs megakernel (SURVEY.md §4.1 differential testing).
+
+The staged pipeline restructures execution into one XLA program per stage
+(the TPU-worker-safe layout); it must compute the exact same estimator as
+the fused megakernel — same RNG stream, same events, same counts."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurt.render.integrator import render_batch
+from tpurt.render.intersectors import scene_meta
+from tpurt.render.staged import make_staged_renderer
+from tpurt.scene.device import to_device
+from tpurt.scene.procedural import cornell_box, hello_triangle
+from tpurt.utils.config import get_config
+
+
+def _compare(scene, config, accel=None):
+    meta = scene_meta(scene)
+    ds = to_device(scene)
+    if config.intersector == "bvh":
+        from tpurt.bvh.two_level import build_scene_accel
+
+        accel = build_scene_accel(ds, meta, leaf_size=config.bvh_leaf_size)
+    img_m, rays_m = render_batch(
+        ds, scene.camera, jnp.uint32(5), jnp.uint32(8), accel,
+        meta=meta, config=config,
+    )
+    staged = make_staged_renderer(ds, accel, meta=meta, config=config)
+    img_s, rays_s = staged(scene.camera, jnp.uint32(5), jnp.uint32(8))
+    # different fusions reassociate floats → a decision at the last ulp
+    # (shadow `contrib > 0`, Fresnel reflect-vs-refract) may flip and
+    # reroute a whole path at a few pixels; systematic divergence would
+    # move every pixel
+    np.testing.assert_allclose(
+        np.asarray(rays_s), np.asarray(rays_m), rtol=1e-3
+    )
+    diff = np.abs(np.asarray(img_s) - np.asarray(img_m))
+    assert float((diff > 1e-3).mean()) < 0.02, (diff > 1e-3).mean()
+    assert float(np.sqrt((diff ** 2).mean())) < 1e-2
+
+
+def test_staged_matches_mega_cornell_pt():
+    config = get_config(
+        "cornell_pt", width=40, height=32, spp_per_batch=2, max_bounces=3,
+    )
+    _compare(cornell_box(path_tracer=True), config)
+
+
+def test_staged_matches_mega_no_nee():
+    config = get_config(
+        "cornell_pt", width=32, height=24, spp_per_batch=1, max_bounces=2,
+        use_nee=False,
+    )
+    _compare(cornell_box(path_tracer=True), config)
+
+
+def test_staged_matches_mega_bvh():
+    config = get_config(
+        "cornell_pt", width=32, height=24, spp_per_batch=2, max_bounces=2,
+        intersector="bvh",
+    )
+    _compare(cornell_box(path_tracer=True), config)
+
+
+def test_staged_flat_shading():
+    config = get_config("hello_triangle", width=64, height=48)
+    _compare(hello_triangle(), config)

@@ -251,14 +251,14 @@ def _packet_kernel(
         nodes, n_steps, n_rows = jax.lax.fori_loop(
             0, STRIP, inner, carry[:3]
         )
+        # No ref reads here: reading output refs mutated under nested
+        # pl.when from the while carry risks Mosaic sync hazards. Any-hit
+        # "early exit" is implicit anyway — occluded lanes carry bt = -1,
+        # so a fully-occluded walk fails every box test and fast-forwards
+        # through the skip chain to the end in O(depth) steps.
         done = jnp.asarray(True)
         for k in range(K):
-            dk = nodes[k] >= n_nodes
-            if any_hit:
-                dk = dk | ~jnp.any(
-                    (sl(bs_ref, k) < 0.0) & walks[k]["alive"]
-                )
-            done = done & dk
+            done = done & (nodes[k] >= n_nodes)
         return nodes, n_steps, n_rows, done
 
     def cond(carry):
@@ -324,6 +324,35 @@ def _ray_sort_keys(org, dirn, t_max_vec, scene_lo, scene_hi):
     return jnp.where(t_max_vec < 0.0, jnp.uint32(0xFFFFFFFF), key)
 
 
+def _octant_partition(dirn, t_max_vec):
+    """Cheap coherence reorder: stable 9-bin counting partition by
+    direction octant (dead rays → trailing bin). No argsort — two cumsums.
+
+    Returns (perm, pos): ``perm`` gathers rays into partitioned order,
+    ``pos`` is its inverse (ray i's partitioned position), used to
+    un-permute results for free."""
+    n = dirn.shape[0]
+    octant = (
+        (dirn[:, 0] >= 0).astype(jnp.int32) * 4
+        + (dirn[:, 1] >= 0).astype(jnp.int32) * 2
+        + (dirn[:, 2] >= 0).astype(jnp.int32)
+    )
+    bins = jnp.where(t_max_vec < 0.0, 8, octant)
+    onehot = (bins[:, None] == jnp.arange(9)[None, :]).astype(jnp.int32)
+    rank = jnp.take_along_axis(
+        jnp.cumsum(onehot, axis=0) - 1, bins[:, None], axis=1
+    )[:, 0]
+    counts = onehot.sum(axis=0)
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    pos = offsets[bins] + rank
+    perm = jnp.zeros(n, jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    return perm, pos
+
+
 def _pack(flat: jnp.ndarray, padded: int, fill: float) -> jnp.ndarray:
     n = flat.shape[0]
     if padded != n:
@@ -342,10 +371,13 @@ def _trace(org, dirn, t_max_vec, tables, *, n_nodes, any_hit, interpret,
     n_groups = max(1, math.ceil(n / group))
     padded = n_groups * group
 
-    perm = None
-    if ray_sort and n > PACKET:
-        keys = _ray_sort_keys(org, dirn, t_max_vec, scene_lo, scene_hi)
-        perm = jnp.argsort(keys).astype(jnp.int32)
+    perm = pos = None
+    if ray_sort and ray_sort != "none" and n > PACKET:
+        if ray_sort == "octant":
+            perm, pos = _octant_partition(dirn, t_max_vec)
+        else:  # "morton": full origin×direction Morton argsort
+            keys = _ray_sort_keys(org, dirn, t_max_vec, scene_lo, scene_hi)
+            perm = jnp.argsort(keys).astype(jnp.int32)
         org = org[perm]
         dirn = dirn[perm]
         t_max_vec = t_max_vec[perm]
@@ -368,6 +400,12 @@ def _trace(org, dirn, t_max_vec, tables, *, n_nodes, any_hit, interpret,
     kernel = functools.partial(
         _packet_kernel, n_nodes=n_nodes, any_hit=any_hit
     )
+    # Barrier the kernel operands/results: letting XLA fuse shading code
+    # across the pallas custom-call boundary was reproduced crashing the
+    # TPU worker when ≥2 traces share a program with shading between them.
+    ox, oy, oz, dx, dy, dz, tm = jax.lax.optimization_barrier(
+        (ox, oy, oz, dx, dy, dz, tm)
+    )
     bt, bu, bv, bs, stat = pl.pallas_call(
         kernel,
         grid=(n_groups,),
@@ -380,15 +418,19 @@ def _trace(org, dirn, t_max_vec, tables, *, n_nodes, any_hit, interpret,
         first_r, count_r, skip_r, tri_rows,
         ox, oy, oz, dx, dy, dz, tm,
     )
+    bt, bu, bv, bs, stat = jax.lax.optimization_barrier(
+        (bt, bu, bv, bs, stat)
+    )
     # per-group counters: node steps at sublane 0, leaf rows at sublane 4
     stats = stat.reshape(n_groups, rows, 128)[:, ::4, 0][:, :2]  # (G, 2)
     unpack = lambda a: a.reshape(padded)[:n]
     bt, bu, bv, bs = unpack(bt), unpack(bu), unpack(bv), unpack(bs)
     if perm is not None:
-        inv = jnp.zeros(n, jnp.int32).at[perm].set(
-            jnp.arange(n, dtype=jnp.int32)
-        )
-        bt, bu, bv, bs = bt[inv], bu[inv], bv[inv], bs[inv]
+        if pos is None:
+            pos = jnp.zeros(n, jnp.int32).at[perm].set(
+                jnp.arange(n, dtype=jnp.int32)
+            )
+        bt, bu, bv, bs = bt[pos], bu[pos], bv[pos], bs[pos]
     return bt, bu, bv, bs, stats
 
 
@@ -402,7 +444,7 @@ def _use_interpret() -> bool:
 
 def make_packet_intersector(ds, accel: PacketAccel, *,
                             interpret: bool | None = None,
-                            ray_sort: bool = True):
+                            ray_sort: str = "octant"):
     """Closest/any-hit pair over the packet BVH (same interface as
     tpurt.render.intersectors.make_brute_force)."""
     if interpret is None:

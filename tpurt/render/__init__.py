@@ -22,6 +22,9 @@ from tpurt.scene.device import to_device
 from tpurt.scene.loader import load_scene
 from tpurt.utils.config import RenderConfig, get_config
 
+# one-entry scene-context cache (device arrays + accel + compiled stages)
+_SCENE_CACHE: dict = {}
+
 
 def build_accel(config: RenderConfig, ds, meta):
     """Pick the intersector (SURVEY.md §2.2 G2): dense brute force for tiny
@@ -89,9 +92,28 @@ def render_scene(
         scene = load_scene(config.scene)
     cam = camera if camera is not None else scene.camera
     assert cam is not None, "scene has no camera"
-    meta = scene_meta(scene)
-    ds = to_device(scene)
-    accel = build_accel(config, ds, meta)
+    # clamp the flattened per-batch ray count (see RenderConfig)
+    import dataclasses
+
+    spp_fit = max(
+        1, config.max_rays_per_batch // (config.width * config.height)
+    )
+    if config.spp_per_batch > spp_fit:
+        config = dataclasses.replace(config, spp_per_batch=spp_fit)
+
+    # Scene context cache: flythroughs call render_scene once per frame
+    # with the same scene/config but a new camera — reuse device arrays,
+    # the acceleration structure, and compiled staged-pipeline stages.
+    cache_key = (id(scene), config)
+    ctx = _SCENE_CACHE.get(cache_key)
+    if ctx is None:
+        meta = scene_meta(scene)
+        ds = to_device(scene)
+        accel = build_accel(config, ds, meta)
+        ctx = {"meta": meta, "ds": ds, "accel": accel}
+        _SCENE_CACHE.clear()  # hold at most one scene context
+        _SCENE_CACHE[cache_key] = ctx
+    meta, ds, accel = ctx["meta"], ctx["ds"], ctx["accel"]
 
     if state is None:
         state = fb.new_frame_state(config.width, config.height, config.seed)
@@ -103,13 +125,30 @@ def render_scene(
 
         mesh = make_render_mesh(config.n_sample_shards, config.n_tile_shards)
 
+    pipeline = config.resolved_pipeline(jax.devices()[0].platform)
+    if pipeline == "staged" and mesh is None:
+        renderer = ctx.get("staged_renderer")
+        if renderer is None:
+            from tpurt.render.staged import make_staged_renderer
+
+            renderer = make_staged_renderer(
+                ds, accel, meta=meta, config=config
+            )
+            ctx["staged_renderer"] = renderer
+    else:
+        renderer = None
+
     spp_per_batch = config.spp_per_batch * max(config.n_sample_shards, 1)
     n_batches = -(-config.spp // spp_per_batch)
     t0 = time.perf_counter()
     total_rays = np.zeros(2)
     for _ in range(int(state.batch_index), n_batches):
         if mesh is None:
-            if config.pipeline == "wavefront":
+            if renderer is not None:
+                radiance_sum, counts = renderer(
+                    cam, state.seed, state.n_samples
+                )
+            elif pipeline == "wavefront":
                 from tpurt.render.wavefront import render_batch_wavefront_jit
 
                 radiance_sum, counts = render_batch_wavefront_jit(

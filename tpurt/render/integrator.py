@@ -131,8 +131,14 @@ def path_trace_rays(
         throughput = jnp.where(
             hit_valid[:, None], throughput * bs.weight, throughput
         )
-        org = materials.bounce_origin(attrs, bs.offset_sign)
-        dirn = bs.wi
+        # dead/miss lanes carry inf hit positions — sanitize so no
+        # non-finite ray values ever reach the traversal kernel
+        org = jnp.where(
+            hit_valid[:, None],
+            materials.bounce_origin(attrs, bs.offset_sign),
+            0.0,
+        )
+        dirn = jnp.where(hit_valid[:, None], bs.wi, 1.0)
         allow_emission = bs.is_specular | (not use_nee)
         alive = (
             hit_valid

@@ -18,6 +18,10 @@ class RenderConfig:
     height: int = 512
     spp: int = 64  # total samples per pixel (progressive)
     spp_per_batch: int = 4  # samples folded inside one jitted batch
+    # cap on rays per jitted batch: samples are flattened into the ray
+    # axis, so width·height·spp_per_batch is clamped to this (HLO temps
+    # scale with the flattened ray count — 2M-ray batches OOM a v5e)
+    max_rays_per_batch: int = 1 << 20
     max_bounces: int = 4  # 0 = primary rays only
     use_nee: bool = True  # next-event estimation (shadow rays)
     shading_mode: str = "full"  # "full" | "flat" (hello-triangle)
@@ -26,12 +30,21 @@ class RenderConfig:
     intersector: str = "auto"  # "auto" | "brute" | "bvh" | "bvh_pallas"
     # BVH tuning
     bvh_leaf_size: int = 4
-    # runtime ray sorting before packetization (the megakernel already
-    # traces in static screen-tile order, so this is off by default; turn
-    # on for workloads whose ray order is incoherent end-to-end)
-    packet_ray_sort: bool = False
-    # wavefront/compaction pipeline (G8/G9) vs. megakernel
-    pipeline: str = "mega"  # "mega" | "wavefront"
+    # runtime ray reordering before packetization: "none" (megakernel
+    # already traces in static screen-tile order), "octant" (cheap 9-bin
+    # counting partition by direction octant + dead-lane compaction), or
+    # "morton" (full origin×direction Morton argsort)
+    packet_ray_sort: str = "none"
+    # execution pipeline: "mega" fuses a whole progressive batch into one
+    # XLA program (fastest, measured 1.8× over staged); "staged" runs one
+    # small executable per wave stage (fast compiles, lowest memory —
+    # see tpurt.render.staged); "wavefront" is the compaction pipeline
+    # (G8/G9). "auto" = mega.
+    pipeline: str = "auto"  # "auto" | "mega" | "staged" | "wavefront"
+
+    def resolved_pipeline(self, platform: str) -> str:
+        del platform
+        return "mega" if self.pipeline == "auto" else self.pipeline
     wavefront_capacity: int = 1 << 16  # ring-buffer lanes (G8)
     material_sort: bool = True  # G9 sort-by-material before shading
     # distributed execution (X1/X2): axis sizes; 1 = single chip
@@ -62,7 +75,7 @@ PRESETS = {
     ),
     "bunny": RenderConfig(
         scene="bunny", width=800, height=600, spp=16, spp_per_batch=4,
-        max_bounces=2, use_nee=True, intersector="bvh",
+        max_bounces=2, use_nee=True, intersector="auto",
     ),
     "cornell_pt": RenderConfig(
         scene="cornell_pt", width=512, height=512, spp=256, spp_per_batch=8,
@@ -70,7 +83,7 @@ PRESETS = {
     ),
     "sponza": RenderConfig(
         scene="sponza", width=1920, height=1080, spp=8, spp_per_batch=2,
-        max_bounces=2, use_nee=True, intersector="bvh",
+        max_bounces=2, use_nee=True, intersector="auto",
     ),
 }
 
