@@ -40,13 +40,14 @@ def child_main(args) -> int:
         max_bounces=args.max_bounces,
     )
 
-    # Warmup: compile + first batch (not timed).
+    # Warmup: compile + first batch (not timed). Same batch shape as the
+    # measured config so the measured run reuses the cached executable.
     warm = get_config(
         args.scene,
         width=args.width,
         height=args.height,
-        spp=1,
-        spp_per_batch=1,
+        spp=args.spp_per_batch,
+        spp_per_batch=args.spp_per_batch,
         max_bounces=args.max_bounces,
     )
     t0 = time.perf_counter()

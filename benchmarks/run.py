@@ -50,6 +50,11 @@ def main():
         if args.quick:
             overrides.update(quick)
         config = get_config(name, **overrides)
+        # warm-up: compile the batch executable (same shape) untimed
+        import dataclasses
+
+        warm = dataclasses.replace(config, spp=config.spp_per_batch)
+        render_scene(warm)
         t0 = time.perf_counter()
         state, stats = render_scene(config)
         wall = time.perf_counter() - t0

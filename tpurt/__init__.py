@@ -15,3 +15,13 @@ Layer mapping (SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+# Geometry correctness requires f32 matmuls: TPU matmul/einsum defaults to
+# bf16 inputs, which corrupts ray/instance transforms in large scenes
+# (Cornell's 555-unit coordinates lose ~3 decimal digits — reproduced as
+# ~1e-3 relative hit-distance error vs the CPU oracle). The renderer has no
+# throughput-critical matmuls, so this costs nothing.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "float32")
+del _jax

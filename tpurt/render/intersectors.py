@@ -76,17 +76,25 @@ def transform_ray(inv: jnp.ndarray, org: jnp.ndarray, dirn: jnp.ndarray):
 
 def make_brute_force(ds: DeviceScene, meta: SceneMeta):
     """Dense all-pairs intersector (the "no acceleration structure" oracle —
-    what the reference's single-triangle demo effectively exercises, B:7)."""
+    what the reference's single-triangle demo effectively exercises, B:7).
+
+    The winner per ray is reduced with a min-tree over per-triangle
+    candidate tuples — NO argmin + fancy-index selection: that pattern was
+    reproduced MISCOMPILING on the axon TPU backend (hit distances ~99%
+    wrong vs the CPU oracle; the min/where form agrees 100%)."""
 
     def closest(org, dirn, t_min, t_max) -> Hit:
         n = org.shape[0]
-        best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)).astype(jnp.float32)
-        best_t = jnp.where(jnp.isfinite(best_t), best_t, jnp.inf)
+        best_t = jnp.broadcast_to(
+            jnp.asarray(t_max, jnp.float32), (n,)
+        ).astype(jnp.float32)
+        best_t = jnp.where(jnp.isfinite(best_t), best_t, jnp.float32(3.4e38))
         best_u = jnp.zeros(n, jnp.float32)
         best_v = jnp.zeros(n, jnp.float32)
         best_tri = jnp.zeros(n, jnp.int32)
         best_inst = jnp.zeros(n, jnp.int32)
         found = jnp.zeros(n, bool)
+        t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
 
         for inst_id, mesh_id in enumerate(meta.inst_mesh):
             start, count = meta.mesh_tri_ranges[mesh_id]
@@ -96,7 +104,6 @@ def make_brute_force(ds: DeviceScene, meta: SceneMeta):
             v0 = ds.tri_v0[start : start + count]
             v1 = ds.tri_v1[start : start + count]
             v2 = ds.tri_v2[start : start + count]
-            t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
             t, u, v, hit = intersect_tris(
                 org_o[:, None, :],
                 dir_o[:, None, :],
@@ -106,16 +113,26 @@ def make_brute_force(ds: DeviceScene, meta: SceneMeta):
                 t_min_b[:, None],
                 best_t[:, None],
             )
-            t_masked = jnp.where(hit, t, jnp.inf)
-            j = jnp.argmin(t_masked, axis=1)
-            r = jnp.arange(n)
-            t_best_here = t_masked[r, j]
-            better = t_best_here < best_t
-            best_u = jnp.where(better, u[r, j], best_u)
-            best_v = jnp.where(better, v[r, j], best_v)
-            best_tri = jnp.where(better, (j + start).astype(jnp.int32), best_tri)
+            # winner via min-reduce + one-hot sum-select over the triangle
+            # axis — no argmin and no gather
+            big = jnp.float32(3.4e38)
+            t_masked = jnp.where(hit, t, big)
+            tm = jnp.min(t_masked, axis=1)
+            iota = jnp.arange(count, dtype=jnp.int32)[None, :]
+            win = t_masked == tm[:, None]
+            jm_local = jnp.min(
+                jnp.where(win, iota, jnp.int32(2 ** 30)), axis=1
+            )
+            first = win & (iota == jm_local[:, None])  # one-hot winner
+            um = jnp.sum(jnp.where(first, u, 0.0), axis=1)
+            vm = jnp.sum(jnp.where(first, v, 0.0), axis=1)
+            jm = jnp.clip(jm_local, 0, count - 1) + jnp.int32(start)
+            better = tm < best_t
+            best_u = jnp.where(better, um, best_u)
+            best_v = jnp.where(better, vm, best_v)
+            best_tri = jnp.where(better, jm, best_tri)
             best_inst = jnp.where(better, jnp.int32(inst_id), best_inst)
-            best_t = jnp.where(better, t_best_here, best_t)
+            best_t = jnp.where(better, tm, best_t)
             found = found | better
 
         return Hit(
