@@ -55,23 +55,24 @@ class RenderConfig:
                              platform: str = "tpu") -> str:
         if self.intersector != "auto":
             return self.intersector
-        # Dense all-pairs wins below ~128 triangles (zero gathers, pure VPU).
-        if num_instanced_tris <= 128:
-            return "brute"
-        # The Pallas packet kernel is the production traversal on TPU; the
-        # jnp two-level BVH is the oracle/portable path elsewhere.
-        return "bvh_packet" if platform == "tpu" else "bvh"
+        if platform == "tpu":
+            # The Pallas packet kernel wins at EVERY scene size measured
+            # (the all-pairs path materializes (rays × tris) temporaries →
+            # HBM-bound: 2× slower even on the 36-tri Cornell box).
+            return "bvh_packet"
+        # CPU: dense all-pairs below ~128 tris, jnp two-level BVH above.
+        return "brute" if num_instanced_tris <= 128 else "bvh"
 
 
 # The five-config benchmark ladder (BASELINE.json:7–11, SURVEY.md §6).
 PRESETS = {
     "hello_triangle": RenderConfig(
         scene="hello_triangle", width=800, height=600, spp=1, spp_per_batch=1,
-        max_bounces=0, use_nee=False, shading_mode="flat", intersector="brute",
+        max_bounces=0, use_nee=False, shading_mode="flat", intersector="auto",
     ),
     "cornell": RenderConfig(
         scene="cornell", width=512, height=512, spp=64, spp_per_batch=8,
-        max_bounces=0, use_nee=True, intersector="brute",
+        max_bounces=0, use_nee=True, intersector="auto",
     ),
     "bunny": RenderConfig(
         scene="bunny", width=800, height=600, spp=16, spp_per_batch=4,
@@ -79,7 +80,7 @@ PRESETS = {
     ),
     "cornell_pt": RenderConfig(
         scene="cornell_pt", width=512, height=512, spp=256, spp_per_batch=8,
-        max_bounces=4, use_nee=True, intersector="brute",
+        max_bounces=4, use_nee=True, intersector="auto",
     ),
     "sponza": RenderConfig(
         scene="sponza", width=1920, height=1080, spp=8, spp_per_batch=2,
