@@ -101,15 +101,21 @@ def render_scene(
     if config.spp_per_batch > spp_fit:
         config = dataclasses.replace(config, spp_per_batch=spp_fit)
 
+    # The compiled batch depends on everything EXCEPT the progressive
+    # total/seed/exposure — normalize those out so a warm-up render or a
+    # different spp reuses the jitted executables (a full retrace through
+    # the remote-compile service costs seconds per stage).
+    jit_config = dataclasses.replace(config, spp=0, seed=0, exposure=1.0)
+
     # Scene context cache: flythroughs call render_scene once per frame
     # with the same scene/config but a new camera — reuse device arrays,
     # the acceleration structure, and compiled staged-pipeline stages.
-    cache_key = (id(scene), config)
+    cache_key = (id(scene), jit_config)
     ctx = _SCENE_CACHE.get(cache_key)
     if ctx is None:
         meta = scene_meta(scene)
         ds = to_device(scene)
-        accel = build_accel(config, ds, meta)
+        accel = build_accel(jit_config, ds, meta)
         ctx = {"meta": meta, "ds": ds, "accel": accel}
         _SCENE_CACHE.clear()  # hold at most one scene context
         _SCENE_CACHE[cache_key] = ctx
@@ -132,7 +138,7 @@ def render_scene(
             from tpurt.render.staged import make_staged_renderer
 
             renderer = make_staged_renderer(
-                ds, accel, meta=meta, config=config
+                ds, accel, meta=meta, config=jit_config
             )
             ctx["staged_renderer"] = renderer
     else:
@@ -153,12 +159,12 @@ def render_scene(
 
                 radiance_sum, counts = render_batch_wavefront_jit(
                     ds, cam, state.seed, state.n_samples, accel,
-                    meta=meta, config=config,
+                    meta=meta, config=jit_config,
                 )
             else:
                 radiance_sum, counts = render_batch_jit(
                     ds, cam, state.seed, state.n_samples, accel,
-                    meta=meta, config=config,
+                    meta=meta, config=jit_config,
                 )
         else:
             from tpurt.parallel.mesh import (
@@ -166,10 +172,10 @@ def render_scene(
                 render_batch_distributed,
             )
 
-            rows_per_shard, _ = distributed_spec(config, mesh)
+            rows_per_shard, _ = distributed_spec(jit_config, mesh)
             radiance_sum, counts = render_batch_distributed(
                 ds, cam, state.seed, state.n_samples, accel,
-                meta=meta, config=config, mesh=mesh,
+                meta=meta, config=jit_config, mesh=mesh,
                 rows_per_shard=rows_per_shard,
             )
             radiance_sum = radiance_sum[: config.height]  # crop tile padding
