@@ -51,7 +51,11 @@ def child_main(args) -> int:
         max_bounces=args.max_bounces,
     )
     t0 = time.perf_counter()
-    render_scene(warm)
+    # no stats readback in the warmup: the first device→host transfer of a
+    # process permanently degrades dispatch latency on the axon backend
+    # (benchmarks/profile_poison.py) — it must not happen before the
+    # measured run
+    render_scene(warm, readback_stats=False)
     warm_s = time.perf_counter() - t0
 
     state, stats = render_scene(config)

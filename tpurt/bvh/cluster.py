@@ -176,16 +176,45 @@ def _median_split_tree(bmin: np.ndarray, bmax: np.ndarray) -> _Tree:
     )
 
 
-def build_packet_accel(ds: DeviceScene, meta: SceneMeta,
-                       leaf_rows: int | None = None) -> PacketAccel:
-    """Flatten instances → Morton sort → pack rows → median-split tree."""
+def _host_tris(ds: DeviceScene | None, meta: SceneMeta, scene=None):
+    """Host-side (v0, v1, v2, inst_transform) for the accel build.
+
+    STRONGLY prefer the host Scene: on the tunneled `axon` TPU backend the
+    FIRST device→host transfer of a process permanently degrades every
+    subsequent program dispatch ~100× (measured: 0.3 µs → 45 µs per Pallas
+    grid step; benchmarks/profile_poison.py reproduces it). The accel build
+    therefore must never read device arrays. The device_get path is kept
+    only for callers that genuinely have no host scene.
+    """
+    if scene is not None:
+        v0s, v1s, v2s = [], [], []
+        for mesh in scene.meshes:
+            v = mesh.vertices
+            idx = mesh.indices
+            v0s.append(v[idx[:, 0]])
+            v1s.append(v[idx[:, 1]])
+            v2s.append(v[idx[:, 2]])
+        tv0 = np.concatenate(v0s).astype(np.float32)
+        tv1 = np.concatenate(v1s).astype(np.float32)
+        tv2 = np.concatenate(v2s).astype(np.float32)
+        inst_tf = np.stack(
+            [i.transform for i in scene.instances]
+        ).astype(np.float32)
+        return tv0, tv1, tv2, inst_tf
     import jax
 
-    # one batched device→host readback (separate np.asarray pulls cost
-    # seconds each over the tunneled TPU backend)
-    tv0, tv1, tv2, inst_tf = jax.device_get(
+    # one batched device→host readback — POISONS the axon dispatch path,
+    # see docstring; only hit when no host scene exists
+    return jax.device_get(
         (ds.tri_v0, ds.tri_v1, ds.tri_v2, ds.inst_transform)
     )
+
+
+def build_packet_accel(ds: DeviceScene, meta: SceneMeta,
+                       leaf_rows: int | None = None,
+                       scene=None) -> PacketAccel:
+    """Flatten instances → Morton sort → pack rows → median-split tree."""
+    tv0, tv1, tv2, inst_tf = _host_tris(ds, meta, scene)
     v0l, v1l, v2l, tril, instl = [], [], [], [], []
     for inst_id, mesh_id in enumerate(meta.inst_mesh):
         start, count = meta.mesh_tri_ranges[mesh_id]

@@ -118,15 +118,29 @@ def cmd_animate(args) -> int:
     os.makedirs(args.out_dir, exist_ok=True)
     t0 = time.perf_counter()
     total_rays = 0.0
+    # Keep every frame ON DEVICE until all frames are rendered: any
+    # device→host readback mid-run permanently degrades dispatch latency
+    # on the axon backend (benchmarks/profile_poison.py), so PNG encoding
+    # happens in one readback pass at the end.
+    frames = []
     for f, cam in enumerate(cams):
-        state, stats = render_scene(config, scene=scene, camera=cam)
+        state, stats = render_scene(config, scene=scene, camera=cam,
+                                    readback_stats=False)
         total_rays += stats["rays_traced"]
-        path = os.path.join(args.out_dir, f"frame_{f:04d}.png")
-        write_png(path, fb.to_png_array(state, config.exposure))
+        frames.append(fb.pack_u8(fb.tonemap(fb.resolve(state),
+                                            config.exposure)))
         if args.verbose:
             print(f"  frame {f + 1}/{len(cams)}: {stats['mrays_per_s']:.2f} "
-                  f"Mrays/s → {path}")
+                  f"Mrays/s (est)")
+    import jax
+
+    jax.block_until_ready(frames)
     elapsed = time.perf_counter() - t0
+    import numpy as np
+
+    for f, img in enumerate(frames):
+        path = os.path.join(args.out_dir, f"frame_{f:04d}.png")
+        write_png(path, np.asarray(img))
     print(
         f"{len(cams)} frames → {args.out_dir} in {elapsed:.1f}s "
         f"({elapsed / len(cams) * 1e3:.0f} ms/frame, "

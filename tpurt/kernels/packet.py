@@ -363,7 +363,7 @@ def _pack(flat: jnp.ndarray, padded: int, fill: float) -> jnp.ndarray:
 
 
 def _trace(org, dirn, t_max_vec, tables, *, n_nodes, any_hit, interpret,
-           ray_sort, scene_lo, scene_hi):
+           ray_sort):
     (bminx, bminy, bminz, bmaxx, bmaxy, bmaxz,
      first_r, count_r, skip_r, tri_rows) = tables
     n = org.shape[0]
@@ -376,6 +376,16 @@ def _trace(org, dirn, t_max_vec, tables, *, n_nodes, any_hit, interpret,
         if ray_sort == "octant":
             perm, pos = _octant_partition(dirn, t_max_vec)
         else:  # "morton": full origin×direction Morton argsort
+            # scene bounds = root AABB (computed here so it is traced/
+            # constant-folded rather than an eagerly captured device array)
+            scene_lo = jnp.stack(
+                [jnp.asarray(bminx)[0], jnp.asarray(bminy)[0],
+                 jnp.asarray(bminz)[0]]
+            )
+            scene_hi = jnp.stack(
+                [jnp.asarray(bmaxx)[0], jnp.asarray(bmaxy)[0],
+                 jnp.asarray(bmaxz)[0]]
+            )
             keys = _ray_sort_keys(org, dirn, t_max_vec, scene_lo, scene_hi)
             perm = jnp.argsort(keys).astype(jnp.int32)
         org = org[perm]
@@ -446,31 +456,31 @@ def make_packet_intersector(ds, accel: PacketAccel, *,
                             interpret: bool | None = None,
                             ray_sort: str = "octant"):
     """Closest/any-hit pair over the packet BVH (same interface as
-    tpurt.render.intersectors.make_brute_force)."""
+    tpurt.render.intersectors.make_brute_force).
+
+    ``accel`` fields may be host numpy arrays, traced values (when this is
+    called inside a jit — the render pipelines do), or device arrays. The
+    closures hold them AS GIVEN: no eager ``jnp.asarray`` here, because a
+    later jit capturing an eager device array must read its bytes back to
+    embed the constant — a device→host transfer that permanently poisons
+    dispatch latency on the axon backend (benchmarks/profile_poison.py).
+    """
     if interpret is None:
         interpret = _use_interpret()
-    scene_lo = jnp.asarray(
-        [accel.node_bminx[0], accel.node_bminy[0], accel.node_bminz[0]],
-        jnp.float32,
-    )
-    scene_hi = jnp.asarray(
-        [accel.node_bmaxx[0], accel.node_bmaxy[0], accel.node_bmaxz[0]],
-        jnp.float32,
-    )
     tables = (
-        jnp.asarray(accel.node_bminx),
-        jnp.asarray(accel.node_bminy),
-        jnp.asarray(accel.node_bminz),
-        jnp.asarray(accel.node_bmaxx),
-        jnp.asarray(accel.node_bmaxy),
-        jnp.asarray(accel.node_bmaxz),
-        jnp.asarray(accel.node_first),
-        jnp.asarray(accel.node_count),
-        jnp.asarray(accel.node_skip),
-        jnp.asarray(accel.tri_rows),
+        accel.node_bminx,
+        accel.node_bminy,
+        accel.node_bminz,
+        accel.node_bmaxx,
+        accel.node_bmaxy,
+        accel.node_bmaxz,
+        accel.node_first,
+        accel.node_count,
+        accel.node_skip,
+        accel.tri_rows,
     )
-    prim_tri = jnp.asarray(accel.prim_tri)
-    prim_inst = jnp.asarray(accel.prim_inst)
+    prim_tri = accel.prim_tri
+    prim_inst = accel.prim_inst
     n_nodes = accel.n_nodes
     n_prims = prim_tri.shape[0]
 
@@ -487,8 +497,8 @@ def make_packet_intersector(ds, accel: PacketAccel, *,
             t=jnp.where(valid, bt, jnp.inf),
             u=bu,
             v=bv,
-            tri=prim_tri[slot_c],
-            inst=prim_inst[slot_c],
+            tri=jnp.asarray(prim_tri)[slot_c],
+            inst=jnp.asarray(prim_inst)[slot_c],
             valid=valid,
         )
 
@@ -497,7 +507,7 @@ def make_packet_intersector(ds, accel: PacketAccel, *,
         bt, bu, bv, bs, _ = _trace(
             org, dirn, _tmax_vec(org, t_max), tables,
             n_nodes=n_nodes, any_hit=False, interpret=interpret,
-            ray_sort=ray_sort, scene_lo=scene_lo, scene_hi=scene_hi,
+            ray_sort=ray_sort,
         )
         return _hit_from(bt, bu, bv, bs)
 
@@ -506,7 +516,7 @@ def make_packet_intersector(ds, accel: PacketAccel, *,
         _, _, _, bs, _ = _trace(
             org, dirn, _tmax_vec(org, t_max), tables,
             n_nodes=n_nodes, any_hit=True, interpret=interpret,
-            ray_sort=ray_sort, scene_lo=scene_lo, scene_hi=scene_hi,
+            ray_sort=ray_sort,
         )
         return bs >= 0.0
 
@@ -517,7 +527,7 @@ def make_packet_intersector(ds, accel: PacketAccel, *,
         bt, bu, bv, bs, stats = _trace(
             org, dirn, _tmax_vec(org, t_max), tables,
             n_nodes=n_nodes, any_hit=False, interpret=interpret,
-            ray_sort=ray_sort, scene_lo=scene_lo, scene_hi=scene_hi,
+            ray_sort=ray_sort,
         )
         return _hit_from(bt, bu, bv, bs), stats
 

@@ -11,6 +11,7 @@ import time
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tpurt.core.camera import Camera
@@ -26,7 +27,7 @@ from tpurt.utils.config import RenderConfig, get_config
 _SCENE_CACHE: dict = {}
 
 
-def build_accel(config: RenderConfig, ds, meta):
+def build_accel(config: RenderConfig, ds, meta, scene=None):
     """Pick the intersector (SURVEY.md §2.2 G2): dense brute force for tiny
     scenes (returns None), LBVH traversal otherwise (returns SceneAccel).
     The build itself is the on-device replacement of the reference's
@@ -51,7 +52,7 @@ def build_accel(config: RenderConfig, ds, meta):
     if kind == "bvh_packet":
         from tpurt.bvh.cluster import build_packet_accel
 
-        return build_packet_accel(ds, meta)
+        return build_packet_accel(ds, meta, scene=scene)
     import functools
 
     from tpurt.bvh import build_scene_accel
@@ -69,8 +70,14 @@ def build_accel(config: RenderConfig, ds, meta):
     if on_device:
         return build(ds)
     cpu = jax.devices("cpu")[0]
-    ds_cpu = jax.device_put(ds, cpu)
+    # Rebuild the CPU-side DeviceScene from the host scene when we can:
+    # device_put(ds, cpu) is a device→host transfer, which permanently
+    # poisons dispatch latency on the axon backend (cluster._host_tris).
     with jax.default_device(cpu):
+        if scene is not None:
+            ds_cpu = to_device(scene)
+        else:
+            ds_cpu = jax.device_put(ds, cpu)
         accel = jax.block_until_ready(build(ds_cpu))
     return jax.device_put(accel, default)
 
@@ -81,15 +88,30 @@ def render_scene(
     camera: Optional[Camera] = None,
     state: Optional[fb.FrameState] = None,
     verbose: bool = False,
+    readback_stats: bool = True,
 ):
     """Render ``config.spp`` samples progressively; returns (FrameState, stats).
 
     ``scene`` may be a host Scene (else loaded from config.scene);
     ``camera`` overrides the scene camera (flythrough frames); ``state``
     resumes a previous accumulation (checkpoint/resume, SURVEY.md §5).
+
+    ``readback_stats=False`` skips the one device→host read of the ray
+    counters (stats report the analytic upper-bound ray count instead,
+    flagged ``rays_estimated``). Use it for every frame but the last of a
+    multi-frame run: the first D2H transfer of a process permanently
+    degrades dispatch latency on the tunneled axon backend
+    (benchmarks/profile_poison.py).
     """
+    scene_key: object
     if scene is None:
         scene = load_scene(config.scene)
+        # cache by preset/path name: a reloaded identical scene must hit
+        # the compiled-context cache (id() misses on every reload, which
+        # costs an accel rebuild + full stage recompile per frame)
+        scene_key = config.scene
+    else:
+        scene_key = id(scene)
     cam = camera if camera is not None else scene.camera
     assert cam is not None, "scene has no camera"
     # clamp the flattened per-batch ray count (see RenderConfig)
@@ -110,12 +132,16 @@ def render_scene(
     # Scene context cache: flythroughs call render_scene once per frame
     # with the same scene/config but a new camera — reuse device arrays,
     # the acceleration structure, and compiled staged-pipeline stages.
-    cache_key = (id(scene), jit_config)
+    cache_key = (scene_key, jit_config)
     ctx = _SCENE_CACHE.get(cache_key)
     if ctx is None:
         meta = scene_meta(scene)
         ds = to_device(scene)
-        accel = build_accel(jit_config, ds, meta)
+        accel = build_accel(jit_config, ds, meta, scene=scene)
+        if accel is not None:
+            # one host→device upload; hot-path calls then pass device
+            # arrays as jit args (never numpy per call, never closures)
+            accel = jax.device_put(accel)
         ctx = {"meta": meta, "ds": ds, "accel": accel}
         _SCENE_CACHE.clear()  # hold at most one scene context
         _SCENE_CACHE[cache_key] = ctx
@@ -147,7 +173,7 @@ def render_scene(
     spp_per_batch = config.spp_per_batch * max(config.n_sample_shards, 1)
     n_batches = -(-config.spp // spp_per_batch)
     t0 = time.perf_counter()
-    total_rays = np.zeros(2)
+    total_rays = None  # (2,) f32 device array — kept on device (no D2H)
     for _ in range(int(state.batch_index), n_batches):
         if mesh is None:
             if renderer is not None:
@@ -180,7 +206,8 @@ def render_scene(
             )
             radiance_sum = radiance_sum[: config.height]  # crop tile padding
         state = fb.accumulate(state, radiance_sum, spp_per_batch)
-        total_rays += np.asarray(counts)
+        counts = jnp.asarray(counts, jnp.float32)
+        total_rays = counts if total_rays is None else total_rays + counts
         if verbose:
             jax.block_until_ready(state.accum)
             print(
@@ -190,13 +217,27 @@ def render_scene(
             )
     jax.block_until_ready(state.accum)
     elapsed = time.perf_counter() - t0
-    n_rays = float(total_rays.sum())
+    # Device→host read of the counters AFTER the timed section (and only
+    # if asked: the first D2H poisons later dispatches on this backend).
+    if readback_stats and total_rays is not None:
+        rays = np.asarray(jax.device_get(total_rays), np.float64)
+        estimated = False
+    else:
+        per_sample = estimate_rays(config) / max(config.spp, 1)
+        done = int(state.n_samples)
+        rays = np.asarray(
+            [per_sample * done, 0.0] if config.use_nee
+            else [per_sample * done, 0.0], np.float64
+        )
+        estimated = True
+    n_rays = float(rays.sum())
     stats = {
         "elapsed_s": elapsed,
         "spp": int(state.n_samples),
-        "rays_closest": float(total_rays[0]),
-        "rays_shadow": float(total_rays[1]),
+        "rays_closest": float(rays[0]),
+        "rays_shadow": float(rays[1]),
         "rays_traced": n_rays,
+        "rays_estimated": estimated,
         "mrays_per_s": n_rays / max(elapsed, 1e-9) / 1e6,
     }
     return state, stats

@@ -61,9 +61,9 @@ def load_checkpoint(path: str):
             )
         state = fb.FrameState(
             accum=jnp.asarray(z["accum"]),
-            n_samples=jnp.asarray(z["n_samples"]),
-            seed=jnp.asarray(z["seed"]),
-            batch_index=jnp.asarray(z["batch_index"]),
+            n_samples=int(z["n_samples"]),
+            seed=int(z["seed"]),
+            batch_index=int(z["batch_index"]),
         )
         config = None
         if "config_json" in z:

@@ -17,11 +17,17 @@ import numpy as np
 
 
 class FrameState(NamedTuple):
+    """Accumulation state. ``accum`` lives on device; the counters are host
+    Python ints ON PURPOSE: converting device scalars (``int(x)``) is a
+    device→host transfer, and on the tunneled axon backend the first D2H of
+    a process permanently degrades all later dispatches ~100×
+    (benchmarks/profile_poison.py). Counters are cheap host bookkeeping."""
+
     accum: jnp.ndarray  # (H, W, 3) f32 — running *sum* of radiance samples
-    n_samples: jnp.ndarray  # () i32 — samples accumulated per pixel; also
-    # the next global sample index (the RNG stream position — resume-safe)
-    seed: jnp.ndarray  # () u32 — base seed of the counter-based RNG
-    batch_index: jnp.ndarray  # () i32 — next progressive batch id
+    n_samples: int  # samples accumulated per pixel; also the next global
+    # sample index (the RNG stream position — resume-safe)
+    seed: int  # base seed of the counter-based RNG
+    batch_index: int  # next progressive batch id
 
     @property
     def height(self) -> int:
@@ -35,9 +41,9 @@ class FrameState(NamedTuple):
 def new_frame_state(width: int, height: int, seed: int = 0) -> FrameState:
     return FrameState(
         accum=jnp.zeros((height, width, 3), jnp.float32),
-        n_samples=jnp.asarray(0, jnp.int32),
-        seed=jnp.asarray(seed, jnp.uint32),
-        batch_index=jnp.asarray(0, jnp.int32),
+        n_samples=0,
+        seed=int(seed),
+        batch_index=0,
     )
 
 
@@ -45,8 +51,8 @@ def reset(state: FrameState) -> FrameState:
     """Accumulation reset on camera move (SURVEY.md §3.5)."""
     return state._replace(
         accum=jnp.zeros_like(state.accum),
-        n_samples=jnp.asarray(0, jnp.int32),
-        batch_index=jnp.asarray(0, jnp.int32),
+        n_samples=0,
+        batch_index=0,
     )
 
 
@@ -55,14 +61,14 @@ def accumulate(state: FrameState, radiance_sum: jnp.ndarray,
     """Fold one rendered sample batch into the running accumulation (G10)."""
     return state._replace(
         accum=state.accum + radiance_sum,
-        n_samples=state.n_samples + samples_added,
-        batch_index=state.batch_index + 1,
+        n_samples=int(state.n_samples) + int(samples_added),
+        batch_index=int(state.batch_index) + 1,
     )
 
 
 def resolve(state: FrameState) -> jnp.ndarray:
     """Mean radiance image (H, W, 3) f32 linear."""
-    n = jnp.maximum(state.n_samples, 1).astype(jnp.float32)
+    n = jnp.float32(max(int(state.n_samples), 1))
     return state.accum / n
 
 

@@ -11,6 +11,14 @@ reused for every bounce/batch (the bounce index rides in as a device
 scalar), which also suits the slow remote-compile service far better than
 one giant program.
 
+Closure discipline (critical on the axon backend): the jitted stages close
+over HOST data only (numpy pixel orders, Python ints); every device-resident
+array — the DeviceScene and the acceleration tables — is passed per call as
+a jit ARGUMENT. Capturing an eager device array in a jitted closure forces
+a device→host read at trace time to embed the constant, and the first D2H
+of a process permanently degrades all later dispatch latency ~100×
+(benchmarks/profile_poison.py).
+
 Estimator-identical to tpurt.render.integrator (same RNG tags, same masks,
 same event ordering) — tests diff the two pipelines. Inter-stage state is
 HBM-resident SoA; the extra boundary traffic is ~60 MB per wave at 1080p,
@@ -24,6 +32,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpurt import materials
 from tpurt.core.camera import Camera, camera_rays, full_frame_pixels_tiled
@@ -52,20 +61,23 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
 
     Returns ``render_batch(cam, seed, sample0) -> ((H, W, 3) sum,
     (2,) counts)`` whose results match integrator.render_batch bit-for-bit
-    up to float reassociation. The camera is an argument (not a closure
-    constant) so flythrough frames reuse the compiled stages.
+    up to float reassociation. The camera/scene/accel are ARGUMENTS of the
+    compiled stages (not closure constants) so flythrough frames reuse the
+    executables and no device constant is ever read back to host.
     """
     w, h = config.width, config.height
     spp = config.spp_per_batch
-    closest, any_hit = make_intersectors(ds, accel, meta=meta, config=config)
+    # host numpy pixel orders (closure constants embedded from host bytes)
     px, py = full_frame_pixels_tiled(w, h)
-    px_r = jnp.tile(px, spp)
-    py_r = jnp.tile(py, spp)
+    px = np.asarray(px)
+    py = np.asarray(py)
+    px_r = np.tile(px, spp)
+    py_r = np.tile(py, spp)
     pixel_id = (
-        py_r.astype(jnp.uint32) * jnp.uint32(w) + px_r.astype(jnp.uint32)
+        py_r.astype(np.uint32) * np.uint32(w) + px_r.astype(np.uint32)
     )
     n = pixel_id.shape[0]
-    linear = py.astype(jnp.int32) * w + px.astype(jnp.int32)
+    linear = py.astype(np.int32) * w + px.astype(np.int32)
 
     def _sampler(seed, sample0):
         sample_idx = jnp.asarray(sample0, jnp.uint32) + jnp.repeat(
@@ -91,8 +103,9 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         )
 
     @jax.jit
-    def trace(state: WaveState):
+    def trace(ds, accel, state: WaveState):
         """Stage with exactly ONE Pallas call (closest hit)."""
+        closest, _ = make_intersectors(ds, accel, meta=meta, config=config)
         rays = state.rays.at[0].add(
             jnp.sum(state.alive.astype(jnp.float32))
         )
@@ -103,7 +116,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         return hit, state._replace(rays=rays)
 
     @jax.jit
-    def shade(state: WaveState, hit, seed, sample0, bounce):
+    def shade(ds, state: WaveState, hit, seed, sample0, bounce):
         """Pure-XLA stage: miss/emission events, NEE shadow-ray setup,
         bounce sampling. ``bounce`` is a device scalar — one executable
         serves every bounce depth."""
@@ -171,8 +184,9 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         return new, shadow
 
     @jax.jit
-    def occlude(state: WaveState, shadow):
+    def occlude(ds, accel, state: WaveState, shadow):
         """Stage with exactly ONE Pallas call (shadow/any-hit)."""
+        _, any_hit = make_intersectors(ds, accel, meta=meta, config=config)
         s_org, s_dir, s_tmax, contrib, want = shadow
         rays = state.rays.at[1].add(jnp.sum(want.astype(jnp.float32)))
         occluded = any_hit(s_org, s_dir, 0.0, s_tmax)
@@ -204,21 +218,21 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         state = raygen(cam, seed, sample0)
         _dbg("raygen", state.org)
         if config.shading_mode == "flat":
-            hit, state = trace(state)
-            return _flat_resolve(state, hit)
+            hit, state = trace(ds, accel, state)
+            return _flat_resolve(ds, state, hit)
         for bounce in range(config.max_bounces + 1):
-            hit, state = trace(state)
+            hit, state = trace(ds, accel, state)
             _dbg(f"trace[{bounce}]", hit.t)
             b = jnp.uint32(bounce)
-            state, shadow = shade(state, hit, seed, sample0, b)
+            state, shadow = shade(ds, state, hit, seed, sample0, b)
             _dbg(f"shade[{bounce}]", state.radiance)
             if shadow is not None:
-                state = occlude(state, shadow)
+                state = occlude(ds, accel, state, shadow)
                 _dbg(f"occlude[{bounce}]", state.radiance)
         return resolve(state)
 
     @jax.jit
-    def _flat_resolve(state: WaveState, hit):
+    def _flat_resolve(ds, state: WaveState, hit):
         attrs = materials.resolve_hit(
             ds, state.org, state.dirn, hit.t, hit.u, hit.v, hit.tri,
             hit.inst,
