@@ -170,6 +170,16 @@ def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
         return make_brute_force(ds, meta)
     from tpurt.bvh.cluster import PacketAccel
 
+    from tpurt.bvh.paircluster import PairAccel
+
+    if isinstance(accel, PairAccel) or (
+        isinstance(accel, tuple) and hasattr(accel, "cluster_lo")
+    ):
+        from tpurt.kernels.pairwave import make_pair_intersector
+
+        return make_pair_intersector(
+            ds, accel, pairs_per_ray=config.pairs_per_ray
+        )
     if isinstance(accel, PacketAccel) or (
         isinstance(accel, tuple) and hasattr(accel, "tri_rows")
     ):

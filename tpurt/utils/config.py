@@ -27,7 +27,12 @@ class RenderConfig:
     shading_mode: str = "full"  # "full" | "flat" (hello-triangle)
     seed: int = 0
     exposure: float = 1.0
-    intersector: str = "auto"  # "auto" | "brute" | "bvh" | "bvh_pallas"
+    # "auto" | "brute" | "bvh" | "bvh_packet" | "bvh_pair"
+    intersector: str = "auto"
+    # pair-wavefront budget: static (ray, cluster) pair capacity per trace
+    # = pairs_per_ray × rays (tpurt.kernels.pairwave; overflow drops the
+    # trailing clusters of a ray chunk and is flagged in trace stats)
+    pairs_per_ray: int = 8
     # BVH tuning
     bvh_leaf_size: int = 4
     # runtime ray reordering before packetization: "none" (megakernel
