@@ -1,0 +1,268 @@
+"""Tile-wavefront traversal — (ray-tile, cluster) pair intersection.
+
+The production TPU traversal path (SURVEY.md G2/G4). Same idea as
+tpurt.kernels.pairwave — match rays to the clusters they pierce, then do
+only the matched intersection work — but at (1024-ray tile, cluster)
+granularity, which eliminates every slow XLA data-movement primitive
+(measured on the axon TPU, benchmarks/profile_pair_phases.py: per-ray
+pair expansion spent 3.7 s in nonzero + 0.63 s in gathers + 0.17 s in
+scatters while the actual intersection kernel took 23 ms):
+
+  1. CULL (XLA, fused):  tile_mask[T, C] — does ANY ray of tile t hit
+     cluster c's AABB?  A dense slab test reduced over the tile axis;
+     nothing big materializes.
+  2. EXPAND (XLA, tiny): nonzero over the (T, C+1) mask — ~10⁵ elements,
+     not 10⁸. Column 0 is an always-true sentinel so every tile emits at
+     least one pair (the kernel initializes a tile's output on its first
+     pair). Pairs are tile-major by construction — no sort.
+  3. TEST (Pallas):      grid over pairs. Scalar-prefetched pair arrays
+     drive the BlockSpec index maps, so each grid step reads its ray
+     tile DIRECTLY from the SoA buffers (no gather) and accumulates
+     best-hit state INTO the tile's output block (consecutive pairs of a
+     tile revisit the same block — the standard TPU grid-reduction
+     pattern; no scatter).
+  4. Output blocks reshape straight back to per-ray arrays (ray order is
+     never permuted).
+
+Redundancy: every ray in a tile tests every cluster the TILE's union
+reaches — the packet-tracing bargain, but per 96-triangle cluster
+instead of per whole-BVH-walk, and with zero machinery overhead. Rays
+should arrive tile-coherent (the render pipelines trace in screen-tile
+order; bounce waves inherit origin coherence from their pixels).
+
+Closure discipline: accel fields ride as jit arguments (axon D2H poison,
+benchmarks/profile_poison.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpurt.bvh.paircluster import ROWS_PER_CLUSTER, PairAccel
+from tpurt.kernels.packet import BIG, _use_interpret
+from tpurt.kernels.pairwave import _tri_row_test
+from tpurt.render.intersectors import Hit
+
+TILE = 1024  # rays per tile: one (8, 128) f32 tile per SoA field
+
+
+def _tile_kernel(
+    pk_ref,  # scalar prefetch (SMEM): pair → tile·2¹⁶ + cluster + 1
+    tri_ref,  # (R, 128) f32 VMEM — packed tri table
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,  # (8,128) tile
+    bt_ref, bu_ref, bv_ref, bs_ref,  # outs (8,128), revisited per tile
+):
+    i = pl.program_id(0)
+    v = pk_ref[i]
+    c = (v & 0xFFFF) - 1
+    prev_t = pk_ref[jnp.maximum(i - 1, 0)] >> 16
+    first = (i == 0) | (prev_t != (v >> 16))
+
+    @pl.when(first)
+    def _():
+        tm = tm_ref[:]
+        bt_ref[:] = jnp.where(tm >= 0.0, tm, -1.0)
+        bu_ref[:] = jnp.zeros_like(tm)
+        bv_ref[:] = jnp.zeros_like(tm)
+        bs_ref[:] = jnp.full_like(tm, -1.0)
+
+    @pl.when(c >= 0)
+    def _():
+        ox = ox_ref[:]
+        oy = oy_ref[:]
+        oz = oz_ref[:]
+        dx = dx_ref[:]
+        dy = dy_ref[:]
+        dz = dz_ref[:]
+        match = jnp.ones_like(ox, dtype=bool)
+
+        def rbody(r, carry):
+            row = tri_ref[pl.ds(c * ROWS_PER_CLUSTER + r, 1), :]
+            return _tri_row_test(
+                row, ox, oy, oz, dx, dy, dz, match, *carry
+            )
+
+        bt, bu, bv, bs = jax.lax.fori_loop(
+            0, ROWS_PER_CLUSTER, rbody,
+            (bt_ref[:], bu_ref[:], bv_ref[:], bs_ref[:]),
+        )
+        bt_ref[:] = bt
+        bu_ref[:] = bu
+        bv_ref[:] = bv
+        bs_ref[:] = bs
+
+
+def _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles):
+    """(T, C) bool: does any ray of tile t hit cluster c's box? The slab
+    test is fused into the tile-axis reduction by XLA — the (N, C)
+    intermediate never lands in HBM."""
+    inv = 1.0 / jnp.where(jnp.abs(dirn) < 1e-12,
+                          jnp.where(dirn >= 0.0, 1e-12, -1e-12), dirn)
+    o = org.reshape(n_tiles, TILE, 1, 3)
+    iv = inv.reshape(n_tiles, TILE, 1, 3)
+    tm = t_max_vec.reshape(n_tiles, TILE, 1)
+    t0 = (lo[None, None] - o) * iv
+    t1 = (hi[None, None] - o) * iv
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (tn <= tf) & (tf >= 0.0) & (tn <= tm) & (tm >= 0.0)
+    return jnp.any(hit, axis=1)  # (T, C)
+
+
+def _trace_tiles(org, dirn, t_max_vec, lo, hi, tri_rows, *, n_clusters,
+                 pair_cap, interpret):
+    n = org.shape[0]
+    n_tiles = n // TILE
+    assert n % TILE == 0, "caller pads rays to TILE"
+    mask = _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles)
+    # sentinel column 0: every tile emits one pair so its output block is
+    # initialized even when it hits nothing
+    ext = jnp.concatenate(
+        [jnp.ones((n_tiles, 1), bool), mask], axis=1
+    )  # (T, C+1) — flat nonzero order is tile-major
+    n_pairs = ext.sum(dtype=jnp.int32)
+    per_tile = pair_cap // n_tiles
+    # clamp each tile to its budget BEFORE expansion: an overfull tile
+    # loses its trailing (Morton-order) clusters — flagged — but every
+    # other tile stays exact and no tile ever loses its sentinel
+    rank = jnp.cumsum(ext.astype(jnp.int32), axis=1)
+    overflow = jnp.any(rank[:, -1] > per_tile)
+    ext = ext & (rank <= per_tile)
+    idx = jnp.nonzero(ext.ravel(), size=pair_cap, fill_value=-1)[0]
+    idx = idx.astype(jnp.int32)
+    valid = idx >= 0
+    # fills → last tile (adjacent to the final real pairs: the sentinel
+    # guarantees tile T-1 owns the last real pair, so no spurious re-init)
+    pair_tile = jnp.where(valid, idx // (n_clusters + 1), n_tiles - 1)
+    pair_cluster = jnp.where(
+        valid, idx % (n_clusters + 1) - 1, -1
+    )
+    # single packed scalar-prefetch array (tile·2¹⁶ + cluster + 1) — the
+    # prefetch operand lives in SMEM, so one array halves the footprint
+    packed = pair_tile * 65536 + (pair_cluster + 1)
+
+    def tiles(a):
+        return a.reshape(n_tiles * 8, 128)
+
+    ox = tiles(org[:, 0])
+    oy = tiles(org[:, 1])
+    oz = tiles(org[:, 2])
+    dx = tiles(dirn[:, 0])
+    dy = tiles(dirn[:, 1])
+    dz = tiles(dirn[:, 2])
+    tm = tiles(t_max_vec)
+
+    tile_spec = lambda: pl.BlockSpec(
+        (8, 128), lambda i, pk: (pk[i] >> 16, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pair_cap,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [tile_spec()] * 7,
+        out_specs=[tile_spec()] * 4,
+    )
+    args = (ox, oy, oz, dx, dy, dz, tm)
+    args = jax.lax.optimization_barrier(args)
+    bt, bu, bv, bs = pl.pallas_call(
+        _tile_kernel,
+        grid_spec=grid_spec,
+        out_shape=[out_shape] * 4,
+        interpret=interpret,
+    )(packed, tri_rows, *args)
+    bt, bu, bv, bs = jax.lax.optimization_barrier((bt, bu, bv, bs))
+    stats = jnp.stack(
+        [n_pairs.astype(jnp.float32), overflow.astype(jnp.float32)]
+    )
+    return (bt.reshape(n), bu.reshape(n), bv.reshape(n), bs.reshape(n),
+            stats)
+
+
+def make_tile_intersector(ds, accel: PairAccel, *,
+                          interpret: bool | None = None,
+                          pairs_per_tile: int = 96):
+    """Closest/any-hit pair over uniform Morton clusters, tile-granular
+    (same interface as make_brute_force / make_packet_intersector).
+
+    ``pairs_per_tile`` sizes the static (tile, cluster) pair budget — the
+    kernel grid AND the SMEM scalar-prefetch array. An overfull tile is
+    clamped to the budget (its trailing Morton-order clusters are
+    dropped; flagged in ``closest.with_stats`` stats[1]); all other
+    tiles stay exact. 0 = all clusters (exact but the grid pays a step
+    per (tile, cluster) slot)."""
+    if interpret is None:
+        interpret = _use_interpret()
+    lo = accel.cluster_lo
+    hi = accel.cluster_hi
+    tri_rows = accel.tri_rows
+    prim_tri = accel.prim_tri
+    prim_inst = accel.prim_inst
+    n_clusters = int(accel.cluster_lo.shape[0])
+    n_prims = prim_tri.shape[0]
+
+    def _run(org, dirn, t_max):
+        n = org.shape[0]
+        tmv = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+        tmv = jnp.where(jnp.isfinite(tmv), tmv, BIG)
+        pad = (-n) % TILE
+        if pad:
+            org = jnp.concatenate(
+                [org, jnp.zeros((pad, 3), jnp.float32)]
+            )
+            dirn = jnp.concatenate(
+                [dirn, jnp.ones((pad, 3), jnp.float32)]
+            )
+            tmv = jnp.concatenate(
+                [tmv, jnp.full(pad, -1.0, jnp.float32)]
+            )
+        n_tiles = (n + pad) // TILE
+        per_tile = (
+            n_clusters + 1 if pairs_per_tile <= 0
+            else min(pairs_per_tile, n_clusters + 1)
+        )
+        cap = n_tiles * per_tile
+        bt, bu, bv, bs, stats = _trace_tiles(
+            org, dirn, tmv, jnp.asarray(lo), jnp.asarray(hi),
+            jnp.asarray(tri_rows), n_clusters=n_clusters, pair_cap=cap,
+            interpret=interpret,
+        )
+        return bt[:n], bu[:n], bv[:n], bs[:n], stats
+
+    def _hit_from(bt, bu, bv, bs):
+        slot = bs.astype(jnp.int32)
+        valid = slot >= 0
+        slot_c = jnp.clip(slot, 0, n_prims - 1)
+        return Hit(
+            t=jnp.where(valid, bt, jnp.inf),
+            u=bu,
+            v=bv,
+            tri=jnp.asarray(prim_tri)[slot_c],
+            inst=jnp.asarray(prim_inst)[slot_c],
+            valid=valid,
+        )
+
+    def closest(org, dirn, t_min, t_max) -> Hit:
+        del t_min
+        bt, bu, bv, bs, _ = _run(org, dirn, t_max)
+        return _hit_from(bt, bu, bv, bs)
+
+    def any_hit(org, dirn, t_min, t_max):
+        del t_min
+        _, _, _, bs, _ = _run(org, dirn, t_max)
+        return bs >= 0.0
+
+    def closest_with_stats(org, dirn, t_min, t_max):
+        del t_min
+        bt, bu, bv, bs, stats = _run(org, dirn, t_max)
+        return _hit_from(bt, bu, bv, bs), stats
+
+    closest.with_stats = closest_with_stats
+    return closest, any_hit

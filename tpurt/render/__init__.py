@@ -53,7 +53,7 @@ def build_accel(config: RenderConfig, ds, meta, scene=None):
         from tpurt.bvh.cluster import build_packet_accel
 
         return build_packet_accel(ds, meta, scene=scene)
-    if kind == "bvh_pair":
+    if kind in ("bvh_pair", "bvh_tile"):
         from tpurt.bvh.paircluster import build_pair_accel
 
         return build_pair_accel(ds, meta, scene=scene)

@@ -175,10 +175,16 @@ def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
     if isinstance(accel, PairAccel) or (
         isinstance(accel, tuple) and hasattr(accel, "cluster_lo")
     ):
-        from tpurt.kernels.pairwave import make_pair_intersector
+        if config.intersector == "bvh_pair":
+            from tpurt.kernels.pairwave import make_pair_intersector
 
-        return make_pair_intersector(
-            ds, accel, pairs_per_ray=config.pairs_per_ray
+            return make_pair_intersector(
+                ds, accel, pairs_per_ray=config.pairs_per_ray
+            )
+        from tpurt.kernels.tilewave import make_tile_intersector
+
+        return make_tile_intersector(
+            ds, accel, pairs_per_tile=config.pairs_per_tile
         )
     if isinstance(accel, PacketAccel) or (
         isinstance(accel, tuple) and hasattr(accel, "tri_rows")

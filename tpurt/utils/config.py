@@ -33,6 +33,9 @@ class RenderConfig:
     # = pairs_per_ray × rays (tpurt.kernels.pairwave; overflow drops the
     # trailing clusters of a ray chunk and is flagged in trace stats)
     pairs_per_ray: int = 8
+    # tile-wavefront budget: static (tile, cluster) pairs per 1024-ray
+    # tile (tpurt.kernels.tilewave; 0 = all clusters, exact)
+    pairs_per_tile: int = 96
     # BVH tuning
     bvh_leaf_size: int = 4
     # runtime ray reordering before packetization: "none" (megakernel
