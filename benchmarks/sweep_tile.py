@@ -17,6 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs-per-tile", type=int, default=96)
+    ap.add_argument("--pairs-avg", type=int, default=0)
+    ap.add_argument("--sort", default="none")
     ap.add_argument("--width", type=int, default=800)
     ap.add_argument("--height", type=int, default=600)
     ap.add_argument("--reps", type=int, default=5)
@@ -62,13 +64,14 @@ def main():
     @jax.jit
     def run(accel_dev, org, dirn):
         c, _ = make_tile_intersector(
-            ds, accel_dev, pairs_per_tile=args.pairs_per_tile
+            ds, accel_dev, pairs_per_tile=args.pairs_per_tile,
+            pairs_avg=args.pairs_avg, ray_sort=args.sort,
         )
         hit, stats = c.with_stats(org, dirn, 0.0, jnp.inf)
         return hit.t, stats
 
     results = {"n_rays": n, "n_clusters": int(n_clusters),
-               "pairs_per_tile": args.pairs_per_tile}
+               "pairs_per_tile": args.pairs_per_tile, "sort": args.sort}
     pend = {}
     for name, (o, d) in (("coherent", (org_np, dir_np)),
                          ("bounce_like", (org_bnc, dir_bnc)),

@@ -113,3 +113,54 @@ def test_overflow_flag(rng):
     hit, stats = t_closest.with_stats(org, dirn, 0.0, jnp.inf)
     stats = np.asarray(stats)
     assert stats[1] == 1.0  # overflow reported
+
+
+def test_ray_sort_matches_unsorted(cornell_setup, rng):
+    """morton ray-sort must be a pure reorder: identical results."""
+    scene = cornell_box(path_tracer=True)
+    meta = scene_meta(scene)
+    ds = to_device(scene)
+    accel = build_pair_accel(ds, meta, scene=scene)
+    c_plain, _ = make_tile_intersector(ds, accel, interpret=True)
+    c_sort, _ = make_tile_intersector(
+        ds, accel, interpret=True, ray_sort="morton"
+    )
+    org, dirn = _rand_rays(rng, 1500, np.array([278, 278, 278.0]), 400.0)
+    t_max = jnp.where(jnp.arange(1500) % 7 == 0, -1.0, jnp.inf)
+    hp = c_plain(org, dirn, 0.0, t_max)
+    hs = c_sort(org, dirn, 0.0, t_max)
+    np.testing.assert_array_equal(np.asarray(hp.valid), np.asarray(hs.valid))
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hs.tri))
+    np.testing.assert_allclose(np.asarray(hp.t), np.asarray(hs.t),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_tile_mask_is_superset_of_exact(rng):
+    """The conservative interval mask must never reject a (tile, cluster)
+    pair that some ray actually pierces — including mixed-octant tiles."""
+    from tpurt.kernels.tilewave import TILE, _tile_mask
+
+    n_tiles, n_c = 4, 64
+    n = n_tiles * TILE
+    org = jnp.asarray(rng.normal(size=(n, 3)) * 5.0, jnp.float32)
+    dirn = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    dirn = dirn / jnp.linalg.norm(dirn, axis=1, keepdims=True)
+    tm = jnp.where(jnp.arange(n) % 5 == 0, -1.0, 1e30).astype(jnp.float32)
+    clo = jnp.asarray(rng.uniform(-6, 5, size=(n_c, 3)), jnp.float32)
+    chi = clo + jnp.asarray(rng.uniform(0.1, 2.0, size=(n_c, 3)),
+                            jnp.float32)
+
+    mask = np.asarray(_tile_mask(org, dirn, tm, clo, chi, n_tiles))
+
+    inv = 1.0 / np.where(np.abs(np.asarray(dirn)) < 1e-12, 1e-12,
+                         np.asarray(dirn))
+    o = np.asarray(org)
+    t0 = (np.asarray(clo)[None] - o[:, None]) * inv[:, None]
+    t1 = (np.asarray(chi)[None] - o[:, None]) * inv[:, None]
+    tn = np.max(np.minimum(t0, t1), axis=-1)
+    tf = np.min(np.maximum(t0, t1), axis=-1)
+    alive = np.asarray(tm)[:, None] >= 0
+    exact = (tn <= tf) & (tf >= 0) & alive
+    exact_tc = exact.reshape(n_tiles, TILE, n_c).any(axis=1)
+    missed = exact_tc & ~mask
+    assert not missed.any(), f"conservative mask lost {missed.sum()} pairs"

@@ -45,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpurt.bvh.paircluster import ROWS_PER_CLUSTER, PairAccel
-from tpurt.kernels.packet import BIG, _use_interpret
+from tpurt.kernels.packet import BIG, _ray_sort_keys, _use_interpret
 from tpurt.kernels.pairwave import _tri_row_test
 from tpurt.render.intersectors import Hit
 
@@ -99,24 +99,72 @@ def _tile_kernel(
 
 
 def _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles):
-    """(T, C) bool: does any ray of tile t hit cluster c's box? The slab
-    test is fused into the tile-axis reduction by XLA — the (N, C)
-    intermediate never lands in HBM."""
-    inv = 1.0 / jnp.where(jnp.abs(dirn) < 1e-12,
-                          jnp.where(dirn >= 0.0, 1e-12, -1e-12), dirn)
-    o = org.reshape(n_tiles, TILE, 1, 3)
-    iv = inv.reshape(n_tiles, TILE, 1, 3)
-    tm = t_max_vec.reshape(n_tiles, TILE, 1)
-    t0 = (lo[None, None] - o) * iv
-    t1 = (hi[None, None] - o) * iv
-    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    hit = (tn <= tf) & (tf >= 0.0) & (tn <= tm) & (tm >= 0.0)
-    return jnp.any(hit, axis=1)  # (T, C)
+    """(T, C) bool, CONSERVATIVE: may cluster c's box be hit by some ray
+    of tile t?
+
+    Interval-arithmetic frustum test: the tile is summarized by its
+    alive-ray origin box and inverse-direction interval, and the slab
+    test runs on intervals — T·C·~40 ops instead of the exact per-ray
+    N·C·12 reduction (which cost 15 ms/trace on the axon TPU). The mask
+    is a superset of the exact one (extra pairs only add masked work in
+    the kernel, they never lose hits). Tiles with mixed direction signs
+    get ±huge inverse intervals and conservatively pass — the Morton
+    ray sort keeps real tiles sign-pure."""
+    o = org.reshape(n_tiles, TILE, 3)
+    d = dirn.reshape(n_tiles, TILE, 3)
+    tm = t_max_vec.reshape(n_tiles, TILE)
+    alive = (tm >= 0.0)[..., None]
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                          jnp.where(d >= 0.0, 1e-12, -1e-12), d)
+    tm_t = jnp.max(tm, axis=1)  # (T,) — max alive tmax (dead are -1)
+
+    # Aggregates are SIGN-SPLIT per axis: a tile mixing +x and −x rays
+    # would otherwise get an inverse interval spanning ±∞ and pass every
+    # cluster (screen-tile-boundary tiles did exactly that). Each sign
+    # group gets its own per-axis origin/inverse interval; the per-AXIS
+    # slab interval is the union over present groups (a ray's group can
+    # differ per axis, so the union must happen before the cross-axis
+    # max/min — per-group tn/tf would be unsound for mixed octants).
+    near_lo = None  # (T, C, 3) lower bound of per-axis slab entry
+    far_hi = None  # (T, C, 3) upper bound of per-axis slab exit
+    for g_mask in ((d >= 0.0) & alive, (d < 0.0) & alive):
+        olo = jnp.min(jnp.where(g_mask, o, BIG), axis=1)  # (T, 3)
+        ohi = jnp.max(jnp.where(g_mask, o, -BIG), axis=1)
+        ivlo = jnp.min(jnp.where(g_mask, inv, BIG), axis=1)
+        ivhi = jnp.max(jnp.where(g_mask, inv, -BIG), axis=1)
+        present = jnp.any(g_mask, axis=1)[:, None]  # (T, 1, 3)
+
+        def plane(b):  # interval of (b - o) * iv; b: (1, C, 3)
+            alo = b - ohi[:, None]
+            ahi = b - olo[:, None]
+            p1 = alo * ivlo[:, None]
+            p2 = alo * ivhi[:, None]
+            p3 = ahi * ivlo[:, None]
+            p4 = ahi * ivhi[:, None]
+            return (
+                jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)),
+            )
+
+        t0_lo, t0_hi = plane(lo[None])
+        t1_lo, t1_hi = plane(hi[None])
+        g_near = jnp.where(present, jnp.minimum(t0_lo, t1_lo), BIG)
+        g_far = jnp.where(present, jnp.maximum(t0_hi, t1_hi), -BIG)
+        near_lo = g_near if near_lo is None else jnp.minimum(near_lo,
+                                                             g_near)
+        far_hi = g_far if far_hi is None else jnp.maximum(far_hi, g_far)
+    tn_lower = jnp.max(near_lo, axis=-1)  # (T, C)
+    tf_upper = jnp.min(far_hi, axis=-1)
+    return (
+        (tn_lower <= tf_upper)
+        & (tf_upper >= 0.0)
+        & (tn_lower <= tm_t[:, None])
+        & (tm_t[:, None] >= 0.0)
+    )
 
 
 def _trace_tiles(org, dirn, t_max_vec, lo, hi, tri_rows, *, n_clusters,
-                 pair_cap, interpret):
+                 pair_cap, per_tile_clamp, interpret):
     n = org.shape[0]
     n_tiles = n // TILE
     assert n % TILE == 0, "caller pads rays to TILE"
@@ -127,13 +175,16 @@ def _trace_tiles(org, dirn, t_max_vec, lo, hi, tri_rows, *, n_clusters,
         [jnp.ones((n_tiles, 1), bool), mask], axis=1
     )  # (T, C+1) — flat nonzero order is tile-major
     n_pairs = ext.sum(dtype=jnp.int32)
-    per_tile = pair_cap // n_tiles
     # clamp each tile to its budget BEFORE expansion: an overfull tile
     # loses its trailing (Morton-order) clusters — flagged — but every
-    # other tile stays exact and no tile ever loses its sentinel
+    # other tile stays exact and no tile ever loses its sentinel. The
+    # GLOBAL cap (= kernel grid size) may be smaller than T×clamp: tiles
+    # borrow slack from each other; exceeding it is flagged too (then
+    # trailing tiles lose pairs).
     rank = jnp.cumsum(ext.astype(jnp.int32), axis=1)
-    overflow = jnp.any(rank[:, -1] > per_tile)
-    ext = ext & (rank <= per_tile)
+    overflow = jnp.any(rank[:, -1] > per_tile_clamp)
+    ext = ext & (rank <= per_tile_clamp)
+    overflow = overflow | (ext.sum(dtype=jnp.int32) > pair_cap)
     idx = jnp.nonzero(ext.ravel(), size=pair_cap, fill_value=-1)[0]
     idx = idx.astype(jnp.int32)
     valid = idx >= 0
@@ -188,7 +239,9 @@ def _trace_tiles(org, dirn, t_max_vec, lo, hi, tri_rows, *, n_clusters,
 
 def make_tile_intersector(ds, accel: PairAccel, *,
                           interpret: bool | None = None,
-                          pairs_per_tile: int = 96):
+                          pairs_per_tile: int = 96,
+                          pairs_avg: int = 0,
+                          ray_sort: str = "none"):
     """Closest/any-hit pair over uniform Morton clusters, tile-granular
     (same interface as make_brute_force / make_packet_intersector).
 
@@ -223,17 +276,45 @@ def make_tile_intersector(ds, accel: PairAccel, *,
             tmv = jnp.concatenate(
                 [tmv, jnp.full(pad, -1.0, jnp.float32)]
             )
+        restore_key = None
+        if ray_sort == "morton":
+            # Tile-coherence reorder for incoherent (bounce) waves: sort
+            # rays by origin-Morton × direction-Morton. Both the forward
+            # permutation and the un-permute ride multi-operand lax.sort —
+            # XLA gather on this backend runs at ~19 ns/element while
+            # sort_key_val moves the same data orders of magnitude faster
+            # (benchmarks/probe_sort_grid.py). Dead rays sort to the back
+            # into all-dead tiles that emit only their sentinel pair.
+            scene_lo = jnp.min(jnp.asarray(lo), axis=0)
+            scene_hi = jnp.max(jnp.asarray(hi), axis=0)
+            keys = _ray_sort_keys(org, dirn, tmv, scene_lo, scene_hi)
+            np_ = org.shape[0]
+            (_, ox_s, oy_s, oz_s, dx_s, dy_s, dz_s, tm_s,
+             restore_key) = jax.lax.sort(
+                (keys, org[:, 0], org[:, 1], org[:, 2], dirn[:, 0],
+                 dirn[:, 1], dirn[:, 2], tmv,
+                 jnp.arange(np_, dtype=jnp.int32)),
+                num_keys=1,
+            )
+            org = jnp.stack([ox_s, oy_s, oz_s], axis=1)
+            dirn = jnp.stack([dx_s, dy_s, dz_s], axis=1)
+            tmv = tm_s
         n_tiles = (n + pad) // TILE
-        per_tile = (
+        clamp = (
             n_clusters + 1 if pairs_per_tile <= 0
             else min(pairs_per_tile, n_clusters + 1)
         )
-        cap = n_tiles * per_tile
+        avg = clamp if pairs_avg <= 0 else min(pairs_avg, clamp)
+        cap = n_tiles * avg
         bt, bu, bv, bs, stats = _trace_tiles(
             org, dirn, tmv, jnp.asarray(lo), jnp.asarray(hi),
             jnp.asarray(tri_rows), n_clusters=n_clusters, pair_cap=cap,
-            interpret=interpret,
+            per_tile_clamp=clamp, interpret=interpret,
         )
+        if restore_key is not None:
+            _, bt, bu, bv, bs = jax.lax.sort(
+                (restore_key, bt, bu, bv, bs), num_keys=1
+            )
         return bt[:n], bu[:n], bv[:n], bs[:n], stats
 
     def _hit_from(bt, bu, bv, bs):

@@ -184,7 +184,8 @@ def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
         from tpurt.kernels.tilewave import make_tile_intersector
 
         return make_tile_intersector(
-            ds, accel, pairs_per_tile=config.pairs_per_tile
+            ds, accel, pairs_per_tile=config.pairs_per_tile,
+            pairs_avg=config.pairs_avg, ray_sort=config.tile_ray_sort,
         )
     if isinstance(accel, PacketAccel) or (
         isinstance(accel, tuple) and hasattr(accel, "tri_rows")

@@ -33,9 +33,15 @@ class RenderConfig:
     # = pairs_per_ray × rays (tpurt.kernels.pairwave; overflow drops the
     # trailing clusters of a ray chunk and is flagged in trace stats)
     pairs_per_ray: int = 8
-    # tile-wavefront budget: static (tile, cluster) pairs per 1024-ray
-    # tile (tpurt.kernels.tilewave; 0 = all clusters, exact)
+    # tile-wavefront budgets (tpurt.kernels.tilewave): per-tile cluster
+    # clamp (0 = all clusters, exact) and average pairs/tile sizing the
+    # kernel grid (0 = same as clamp; smaller = less grid slack, tiles
+    # borrow from each other)
     pairs_per_tile: int = 96
+    pairs_avg: int = 0
+    # tile-wavefront ray reorder: "none" | "morton" (origin×direction
+    # Morton sort via lax.sort — tightens tile unions for bounce waves)
+    tile_ray_sort: str = "none"
     # BVH tuning
     bvh_leaf_size: int = 4
     # runtime ray reordering before packetization: "none" (megakernel
