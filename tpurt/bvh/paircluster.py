@@ -38,7 +38,10 @@ from tpurt.bvh.cluster import LANES_PER_TRI, TPR, _host_tris, _morton
 from tpurt.render.intersectors import SceneMeta
 from tpurt.scene.device import DeviceScene
 
-TRIS_PER_CLUSTER = 96  # 8 rows × 12 tris
+# 16 rows × 12 tris: sized so one (tile, cluster) kernel step does ~16
+# unrolled row tests — the Mosaic grid machinery costs ~1 µs/step
+# regardless of body size (profiled), so fatter steps amortize it
+TRIS_PER_CLUSTER = 192
 ROWS_PER_CLUSTER = TRIS_PER_CLUSTER // TPR
 BIG = np.float32(3.4e38)
 

@@ -55,9 +55,15 @@ TILE = 1024  # rays per tile: one (8, 128) f32 tile per SoA field
 def _tile_kernel(
     pk_ref,  # scalar prefetch (SMEM): pair → tile·2¹⁶ + cluster + 1
     tri_ref,  # (R, 128) f32 VMEM — packed tri table
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tm_ref,  # (8,128) tile
-    bt_ref, bu_ref, bv_ref, bs_ref,  # outs (8,128), revisited per tile
+    ray_ref,  # (56, 128) — packed ray tile: ox|oy|oz|dx|dy|dz|tm × 8 rows
+    out_ref,  # (32, 128) — packed best state: bt|bu|bv|bs × 8 rows
+    *,
+    unroll: bool,
 ):
+    # Single packed ray operand and single packed output: per grid step
+    # Mosaic evaluates every operand's index map and change-detects its
+    # block — 12 separate operands cost ~1 µs/step of pure machinery
+    # (profiled); 3 operands cut that ~4×.
     i = pl.program_id(0)
     v = pk_ref[i]
     c = (v & 0xFFFF) - 1
@@ -66,36 +72,47 @@ def _tile_kernel(
 
     @pl.when(first)
     def _():
-        tm = tm_ref[:]
-        bt_ref[:] = jnp.where(tm >= 0.0, tm, -1.0)
-        bu_ref[:] = jnp.zeros_like(tm)
-        bv_ref[:] = jnp.zeros_like(tm)
-        bs_ref[:] = jnp.full_like(tm, -1.0)
+        tm = ray_ref[48:56, :]
+        out_ref[0:8, :] = jnp.where(tm >= 0.0, tm, -1.0)
+        out_ref[8:24, :] = jnp.zeros((16, 128), jnp.float32)
+        out_ref[24:32, :] = jnp.full((8, 128), -1.0, jnp.float32)
 
     @pl.when(c >= 0)
     def _():
-        ox = ox_ref[:]
-        oy = oy_ref[:]
-        oz = oz_ref[:]
-        dx = dx_ref[:]
-        dy = dy_ref[:]
-        dz = dz_ref[:]
+        ox = ray_ref[0:8, :]
+        oy = ray_ref[8:16, :]
+        oz = ray_ref[16:24, :]
+        dx = ray_ref[24:32, :]
+        dy = ray_ref[32:40, :]
+        dz = ray_ref[40:48, :]
         match = jnp.ones_like(ox, dtype=bool)
+        carry = (out_ref[0:8, :], out_ref[8:16, :], out_ref[16:24, :],
+                 out_ref[24:32, :])
+        base = c * ROWS_PER_CLUSTER
+        if unroll:
+            # static row count → Python-unrolled on hardware: a lax.fori
+            # here cost ~2 µs/grid step in loop machinery (jax.profiler:
+            # the kernel was 91 ms/trace, all of it this loop)
+            for r in range(ROWS_PER_CLUSTER):
+                row = tri_ref[pl.ds(base + r, 1), :]
+                carry = _tri_row_test(
+                    row, ox, oy, oz, dx, dy, dz, match, *carry
+                )
+        else:
+            # interpret mode keeps the compact fori jaxpr (unrolling made
+            # the CPU test suite 8× slower to execute)
+            def rbody(r, cr):
+                row = tri_ref[pl.ds(base + r, 1), :]
+                return _tri_row_test(
+                    row, ox, oy, oz, dx, dy, dz, match, *cr
+                )
 
-        def rbody(r, carry):
-            row = tri_ref[pl.ds(c * ROWS_PER_CLUSTER + r, 1), :]
-            return _tri_row_test(
-                row, ox, oy, oz, dx, dy, dz, match, *carry
-            )
-
-        bt, bu, bv, bs = jax.lax.fori_loop(
-            0, ROWS_PER_CLUSTER, rbody,
-            (bt_ref[:], bu_ref[:], bv_ref[:], bs_ref[:]),
-        )
-        bt_ref[:] = bt
-        bu_ref[:] = bu
-        bv_ref[:] = bv
-        bs_ref[:] = bs
+            carry = jax.lax.fori_loop(0, ROWS_PER_CLUSTER, rbody, carry)
+        bt, bu, bv, bs = carry
+        out_ref[0:8, :] = bt
+        out_ref[8:16, :] = bu
+        out_ref[16:24, :] = bv
+        out_ref[24:32, :] = bs
 
 
 def _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles):
@@ -198,43 +215,42 @@ def _trace_tiles(org, dirn, t_max_vec, lo, hi, tri_rows, *, n_clusters,
     # prefetch operand lives in SMEM, so one array halves the footprint
     packed = pair_tile * 65536 + (pair_cluster + 1)
 
-    def tiles(a):
-        return a.reshape(n_tiles * 8, 128)
+    # one packed (T·56, 128) ray operand: ox|oy|oz|dx|dy|dz|tm per tile
+    ray_pack = jnp.concatenate(
+        [a.reshape(n_tiles, 8, 128) for a in (
+            org[:, 0], org[:, 1], org[:, 2],
+            dirn[:, 0], dirn[:, 1], dirn[:, 2], t_max_vec)],
+        axis=1,
+    ).reshape(n_tiles * 56, 128)
 
-    ox = tiles(org[:, 0])
-    oy = tiles(org[:, 1])
-    oz = tiles(org[:, 2])
-    dx = tiles(dirn[:, 0])
-    dy = tiles(dirn[:, 1])
-    dz = tiles(dirn[:, 2])
-    tm = tiles(t_max_vec)
-
-    tile_spec = lambda: pl.BlockSpec(
-        (8, 128), lambda i, pk: (pk[i] >> 16, 0),
-        memory_space=pltpu.VMEM,
-    )
-    out_shape = jax.ShapeDtypeStruct((n_tiles * 8, 128), jnp.float32)
+    in_spec = pl.BlockSpec((56, 128), lambda i, pk: (pk[i] >> 16, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((32, 128), lambda i, pk: (pk[i] >> 16, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_tiles * 32, 128), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(pair_cap,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-        + [tile_spec()] * 7,
-        out_specs=[tile_spec()] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), in_spec],
+        out_specs=[out_spec],
     )
-    args = (ox, oy, oz, dx, dy, dz, tm)
-    args = jax.lax.optimization_barrier(args)
-    bt, bu, bv, bs = pl.pallas_call(
-        _tile_kernel,
+    (ray_pack,) = jax.lax.optimization_barrier((ray_pack,))
+    out = pl.pallas_call(
+        functools.partial(_tile_kernel, unroll=not interpret),
         grid_spec=grid_spec,
-        out_shape=[out_shape] * 4,
+        out_shape=[out_shape],
         interpret=interpret,
-    )(packed, tri_rows, *args)
-    bt, bu, bv, bs = jax.lax.optimization_barrier((bt, bu, bv, bs))
+    )(packed, tri_rows, ray_pack)[0]
+    (out,) = jax.lax.optimization_barrier((out,))
+    out = out.reshape(n_tiles, 4, 8, 128)
+    bt = out[:, 0].reshape(n)
+    bu = out[:, 1].reshape(n)
+    bv = out[:, 2].reshape(n)
+    bs = out[:, 3].reshape(n)
     stats = jnp.stack(
         [n_pairs.astype(jnp.float32), overflow.astype(jnp.float32)]
     )
-    return (bt.reshape(n), bu.reshape(n), bv.reshape(n), bs.reshape(n),
-            stats)
+    return bt, bu, bv, bs, stats
 
 
 def make_tile_intersector(ds, accel: PairAccel, *,

@@ -37,11 +37,12 @@ class RenderConfig:
     # clamp (0 = all clusters, exact) and average pairs/tile sizing the
     # kernel grid (0 = same as clamp; smaller = less grid slack, tiles
     # borrow from each other)
-    pairs_per_tile: int = 96
-    pairs_avg: int = 0
+    pairs_per_tile: int = 0
+    pairs_avg: int = 64
     # tile-wavefront ray reorder: "none" | "morton" (origin×direction
-    # Morton sort via lax.sort — tightens tile unions for bounce waves)
-    tile_ray_sort: str = "none"
+    # Morton sort via lax.sort — tightens tile unions for bounce waves;
+    # proven a pure reorder by tests/unit/test_tilewave.py)
+    tile_ray_sort: str = "morton"
     # BVH tuning
     bvh_leaf_size: int = 4
     # runtime ray reordering before packetization: "none" (megakernel
@@ -70,10 +71,12 @@ class RenderConfig:
         if self.intersector != "auto":
             return self.intersector
         if platform == "tpu":
-            # The Pallas packet kernel wins at EVERY scene size measured
-            # (the all-pairs path materializes (rays × tris) temporaries →
-            # HBM-bound: 2× slower even on the 36-tri Cornell box).
-            return "bvh_packet"
+            # Tile-wavefront (tpurt.kernels.tilewave): matches the packet
+            # kernel on coherent primaries and is 3–6× faster on bounce
+            # waves (benchmarks/sweep_tile.py); the all-pairs path
+            # materializes (rays × tris) temporaries → HBM-bound even on
+            # the 36-tri Cornell box.
+            return "bvh_tile"
         # CPU: dense all-pairs below ~128 tris, jnp two-level BVH above.
         return "brute" if num_instanced_tris <= 128 else "bvh"
 
