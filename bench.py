@@ -31,25 +31,21 @@ def child_main(args) -> int:
     from tpurt.render import render_scene
     from tpurt.utils.config import get_config
 
-    config = get_config(
-        args.scene,
+    overrides = dict(
         width=args.width,
         height=args.height,
         spp=args.spp,
         spp_per_batch=args.spp_per_batch,
         max_bounces=args.max_bounces,
     )
+    if args.intersector:
+        overrides["intersector"] = args.intersector
+    config = get_config(args.scene, **overrides)
 
     # Warmup: compile + first batch (not timed). Same batch shape as the
     # measured config so the measured run reuses the cached executable.
     warm = get_config(
-        args.scene,
-        width=args.width,
-        height=args.height,
-        spp=args.spp_per_batch,
-        spp_per_batch=args.spp_per_batch,
-        max_bounces=args.max_bounces,
-    )
+        args.scene, **{**overrides, "spp": args.spp_per_batch})
     t0 = time.perf_counter()
     # no stats readback in the warmup: the first device→host transfer of a
     # process permanently degrades dispatch latency on the axon backend
@@ -93,6 +89,8 @@ def make_parser():
     ap.add_argument("--max-bounces", type=int, default=2,
                     dest="max_bounces")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--intersector", default="",
+                    help="override config intersector (e.g. bvh_tile)")
     ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--retries", type=int, default=3)
     return ap
@@ -108,6 +106,8 @@ def main():
            "--height", str(args.height), "--spp", str(args.spp),
            "--spp-per-batch", str(args.spp_per_batch),
            "--max-bounces", str(args.max_bounces)]
+    if args.intersector:
+        cmd += ["--intersector", args.intersector]
     if args.cpu:
         cmd.append("--cpu")
     last_err = ""

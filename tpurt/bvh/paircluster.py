@@ -38,12 +38,24 @@ from tpurt.bvh.cluster import LANES_PER_TRI, TPR, _host_tris, _morton
 from tpurt.render.intersectors import SceneMeta
 from tpurt.scene.device import DeviceScene
 
-# 16 rows × 12 tris: sized so one (tile, cluster) kernel step does ~16
-# unrolled row tests — the Mosaic grid machinery costs ~1 µs/step
-# regardless of body size (profiled), so fatter steps amortize it
-TRIS_PER_CLUSTER = 192
+# 8 rows × 12 tris per cluster. Swept on TPU v5e (benchmarks/sweep_tile
+# .py): 96 beats 192 on both coherent (12.6 vs 11.2 Mrays/s) and
+# shuffled (7.2 vs 6.5) — the per-row cost is dominated by the 120
+# scalar lane-extracts of packed tri fields (~240 ns/row), so smaller
+# clusters that cull tighter win over fewer fatter steps.
+TRIS_PER_CLUSTER = 96
 ROWS_PER_CLUSTER = TRIS_PER_CLUSTER // TPR
 BIG = np.float32(3.4e38)
+
+
+SHADE_LANES = 32  # record stride: 4 records per 128-lane row
+# record layout (lane offsets within the 32-lane record):
+#   0:3   world geometric normal (inst normal matrix · object cross, raw)
+#   3:6   world shading normal at v0 (raw; interpolate then normalize)
+#   6:9   .. at v1      9:12  .. at v2
+#   12    material kind  13:16 albedo  16:19 emission
+#   19    param0  20 param1  21 material id
+SHADE_USED = 22
 
 
 class PairAccel(NamedTuple):
@@ -54,6 +66,10 @@ class PairAccel(NamedTuple):
         (v0.xyz, e1.xyz, e2.xyz, slot-id; 12 per row; zero padding rows
         have det 0 ⇒ Möller–Trumbore miss, slot −1).
     prim_tri/prim_inst: flat slot → (global tri id, instance id).
+    shade_rows: (ceil(slots/4), 128) f32 — per-slot WORLD-space shading
+        record (SHADE_LANES layout above), 4 records per row. One row
+        gather per hit replaces ~10 per-field XLA gathers + the instance
+        normal-matrix einsum (each measured ~10 ms per 960k-ray bounce).
     """
 
     cluster_lo: np.ndarray
@@ -61,6 +77,7 @@ class PairAccel(NamedTuple):
     tri_rows: np.ndarray
     prim_tri: np.ndarray
     prim_inst: np.ndarray
+    shade_rows: np.ndarray
 
     @property
     def n_clusters(self) -> int:
@@ -133,6 +150,98 @@ def pack_tri_rows(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     return tri_rows, pmin, pmax
 
 
+def _host_shading(ds: DeviceScene | None, meta: SceneMeta, scene=None):
+    """Host-side per-global-tri (n0, n1, n2, mat_id), per-inst (normal
+    matrix, material override), and material tables."""
+    if scene is not None:
+        n0s, n1s, n2s, mats = [], [], [], []
+        for mesh in scene.meshes:
+            idx = mesh.indices
+            nrm = (mesh.normals if mesh.normals is not None
+                   else mesh.compute_vertex_normals())
+            n0s.append(nrm[idx[:, 0]])
+            n1s.append(nrm[idx[:, 1]])
+            n2s.append(nrm[idx[:, 2]])
+            mats.append(mesh.material_ids)
+        tn0 = np.concatenate(n0s).astype(np.float32)
+        tn1 = np.concatenate(n1s).astype(np.float32)
+        tn2 = np.concatenate(n2s).astype(np.float32)
+        tmat = np.concatenate(mats).astype(np.int32)
+        inst_nrm = np.stack([
+            np.linalg.inv(i.transform[:, :3]).T for i in scene.instances
+        ]).astype(np.float32)
+        inst_over = np.array(
+            [i.material_override for i in scene.instances], np.int32
+        )
+        k = max(len(scene.materials), 1)
+        mk = np.zeros(k, np.float32)
+        ma = np.zeros((k, 3), np.float32)
+        me = np.zeros((k, 3), np.float32)
+        mp0 = np.zeros(k, np.float32)
+        mp1 = np.zeros(k, np.float32)
+        for j, m in enumerate(scene.materials):
+            mk[j] = m.kind
+            ma[j] = m.albedo
+            me[j] = m.emission
+            mp0[j] = m.param0
+            mp1[j] = m.param1
+        return tn0, tn1, tn2, tmat, inst_nrm, inst_over, mk, ma, me, \
+            mp0, mp1
+    import jax
+
+    # D2H fallback — poisons axon dispatch; see _host_tris
+    (tn0, tn1, tn2, tmat, inst_nrm, inst_over, mk, ma, me, mp0,
+     mp1) = jax.device_get(
+        (ds.tri_n0, ds.tri_n1, ds.tri_n2, ds.tri_mat, ds.inst_nrm,
+         ds.inst_mat_override, ds.mat_kind, ds.mat_albedo,
+         ds.mat_emission, ds.mat_param0, ds.mat_param1)
+    )
+    return (tn0, tn1, tn2, tmat, inst_nrm, inst_over,
+            mk.astype(np.float32), ma, me, mp0, mp1)
+
+
+def build_shade_rows(ds: DeviceScene, meta: SceneMeta, v0, v1, v2,
+                     tri_id, inst_id, n_slots: int, scene=None):
+    """(ceil(n_slots/4), 128) world-space shading records (SHADE_LANES)."""
+    (tn0, tn1, tn2, tmat, inst_nrm, inst_over, mk, ma, me, mp0,
+     mp1) = _host_shading(ds, meta, scene)
+    t = tri_id.shape[0]
+    nm = inst_nrm[inst_id]  # (t, 3, 3)
+    xf = lambda n: np.einsum("tij,tj->ti", nm, n).astype(np.float32)
+    # v0/v1/v2 are WORLD-space: their cross is already the world normal
+    # up to det(A) — flip by its sign to match the legacy direction
+    # (nrm_mat · object-cross); applying nrm_mat again would rotate it.
+    det_sign = np.sign(np.linalg.det(np.linalg.inv(nm))).astype(
+        np.float32
+    )[:, None]
+    n_geom = (np.cross(v1 - v0, v2 - v0) * det_sign).astype(np.float32)
+    n0w = xf(tn0[tri_id])
+    n1w = xf(tn1[tri_id])
+    n2w = xf(tn2[tri_id])
+    over = inst_over[inst_id]
+    mid = np.where(over >= 0, over, tmat[tri_id])
+    mid = np.clip(mid, 0, mk.shape[0] - 1)
+
+    rec = np.zeros((n_slots, SHADE_LANES), np.float32)
+    rec[:t, 0:3] = n_geom
+    rec[:t, 3:6] = n0w
+    rec[:t, 6:9] = n1w
+    rec[:t, 9:12] = n2w
+    rec[:t, 12] = mk[mid]
+    rec[:t, 13:16] = ma[mid]
+    rec[:t, 16:19] = me[mid]
+    rec[:t, 19] = mp0[mid]
+    rec[:t, 20] = mp1[mid]
+    rec[:t, 21] = mid.astype(np.float32)
+    n_rows = -(-n_slots // 4)
+    pad_rows = n_rows * 4 - n_slots
+    if pad_rows:
+        rec = np.concatenate(
+            [rec, np.zeros((pad_rows, SHADE_LANES), np.float32)]
+        )
+    return rec.reshape(n_rows, 128)
+
+
 def build_pair_accel(ds: DeviceScene, meta: SceneMeta,
                      scene=None) -> PairAccel:
     """Flatten instances → Morton sort → uniform clusters + AABBs."""
@@ -145,10 +254,14 @@ def build_pair_accel(ds: DeviceScene, meta: SceneMeta,
     lo = pmin.reshape(n_clusters, TRIS_PER_CLUSTER, 3).min(1)
     hi = pmax.reshape(n_clusters, TRIS_PER_CLUSTER, 3).max(1)
 
+    shade_rows = build_shade_rows(
+        ds, meta, v0, v1, v2, tri_id, inst_id, n_slots=t, scene=scene
+    )
     return PairAccel(
         cluster_lo=lo.astype(np.float32),
         cluster_hi=hi.astype(np.float32),
         tri_rows=tri_rows,
         prim_tri=tri_id,
         prim_inst=inst_id,
+        shade_rows=shade_rows,
     )

@@ -320,6 +320,7 @@ def make_two_level_intersector(ds: DeviceScene, accel: SceneAccel,
             tri=tri,
             inst=s.best_inst,
             valid=s.found,
+            slot=jnp.full_like(tri, -1),
         )
 
     def any_hit(org, dirn, t_min, t_max) -> jnp.ndarray:

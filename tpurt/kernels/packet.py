@@ -500,6 +500,7 @@ def make_packet_intersector(ds, accel: PacketAccel, *,
             tri=jnp.asarray(prim_tri)[slot_c],
             inst=jnp.asarray(prim_inst)[slot_c],
             valid=valid,
+            slot=jnp.where(valid, slot_c, -1),
         )
 
     def closest(org, dirn, t_min, t_max) -> Hit:

@@ -45,11 +45,78 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpurt.bvh.paircluster import ROWS_PER_CLUSTER, PairAccel
-from tpurt.kernels.packet import BIG, _ray_sort_keys, _use_interpret
-from tpurt.kernels.pairwave import _tri_row_test
+from tpurt.kernels.packet import BIG, EPS_DENOM, _ray_sort_keys, \
+    _use_interpret
 from tpurt.render.intersectors import Hit
 
 TILE = 1024  # rays per tile: one (8, 128) f32 tile per SoA field
+_TPR = 12
+_LANES_PER_TRI = 10
+
+
+def _row_candidates(row, ox, oy, oz, dx, dy, dz, out):
+    """Append the row's 12 independent Möller–Trumbore candidate tuples
+    (t-or-BIG, u, v, slot) to ``out`` — no folding, no best-state reads.
+
+    Keeping every triangle test independent lets the VPU pipeline them
+    at issue rate; a per-row fold+select serialized on the best-state
+    carry measured ~240 ns/row vs ~45 ns of issue work (the fold across
+    all rows happens once per cluster in the caller)."""
+    for j in range(_TPR):
+        base = j * _LANES_PER_TRI
+        v0x = row[0, base + 0]
+        v0y = row[0, base + 1]
+        v0z = row[0, base + 2]
+        e1x = row[0, base + 3]
+        e1y = row[0, base + 4]
+        e1z = row[0, base + 5]
+        e2x = row[0, base + 6]
+        e2y = row[0, base + 7]
+        e2z = row[0, base + 8]
+        sl = row[0, base + 9]
+
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok_det = jnp.abs(det) > EPS_DENOM
+        inv = 1.0 / jnp.where(ok_det, det, 1.0)
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (dx * qx + dy * qy + dz * qz) * inv
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv
+        ok = (
+            ok_det
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t > 0.0)
+        )
+        out.append((jnp.where(ok, t, BIG), u, v, sl))
+
+
+def _fold_candidates(cand):
+    """Tree-fold candidate tuples to the single closest one."""
+    while len(cand) > 1:
+        nxt = []
+        for a in range(0, len(cand) - 1, 2):
+            (ta, ua, va, sa), (tb, ub, vb, sb) = cand[a], cand[a + 1]
+            take_b = tb < ta
+            nxt.append((
+                jnp.minimum(ta, tb),
+                jnp.where(take_b, ub, ua),
+                jnp.where(take_b, vb, va),
+                jnp.where(take_b, sb, sa),
+            ))
+        if len(cand) % 2:
+            nxt.append(cand[-1])
+        cand = nxt
+    return cand[0]
 
 
 def _tile_kernel(
@@ -85,34 +152,43 @@ def _tile_kernel(
         dx = ray_ref[24:32, :]
         dy = ray_ref[32:40, :]
         dz = ray_ref[40:48, :]
-        match = jnp.ones_like(ox, dtype=bool)
-        carry = (out_ref[0:8, :], out_ref[8:16, :], out_ref[16:24, :],
-                 out_ref[24:32, :])
         base = c * ROWS_PER_CLUSTER
         if unroll:
-            # static row count → Python-unrolled on hardware: a lax.fori
-            # here cost ~2 µs/grid step in loop machinery (jax.profiler:
-            # the kernel was 91 ms/trace, all of it this loop)
+            # hardware: rows are independent of each other (the previous
+            # per-row merge into the best-state carry serialized at
+            # ~240 ns/row); each row folds its own 12 candidates, the 16
+            # row winners tree-fold once per cluster. Keeping all 192
+            # candidates live instead blew VMEM/registers (3 MB live)
+            # and the compile never finished.
+            rows_out = []
             for r in range(ROWS_PER_CLUSTER):
                 row = tri_ref[pl.ds(base + r, 1), :]
-                carry = _tri_row_test(
-                    row, ox, oy, oz, dx, dy, dz, match, *carry
-                )
+                cand = []
+                _row_candidates(row, ox, oy, oz, dx, dy, dz, cand)
+                rows_out.append(_fold_candidates(cand))
+            tm_c, um, vm, sm = _fold_candidates(rows_out)
         else:
-            # interpret mode keeps the compact fori jaxpr (unrolling made
-            # the CPU test suite 8× slower to execute)
+            # interpret mode keeps a compact fori jaxpr (full unrolling
+            # made the CPU test suite 8× slower to execute)
             def rbody(r, cr):
                 row = tri_ref[pl.ds(base + r, 1), :]
-                return _tri_row_test(
-                    row, ox, oy, oz, dx, dy, dz, match, *cr
-                )
+                out = []
+                _row_candidates(row, ox, oy, oz, dx, dy, dz, out)
+                return _fold_candidates(out + [cr])
 
-            carry = jax.lax.fori_loop(0, ROWS_PER_CLUSTER, rbody, carry)
-        bt, bu, bv, bs = carry
-        out_ref[0:8, :] = bt
-        out_ref[8:16, :] = bu
-        out_ref[16:24, :] = bv
-        out_ref[24:32, :] = bs
+            init = (jnp.full((8, 128), BIG, jnp.float32),
+                    jnp.zeros((8, 128), jnp.float32),
+                    jnp.zeros((8, 128), jnp.float32),
+                    jnp.full((8, 128), -1.0, jnp.float32))
+            tm_c, um, vm, sm = jax.lax.fori_loop(
+                0, ROWS_PER_CLUSTER, rbody, init
+            )
+        bt = out_ref[0:8, :]
+        win = tm_c < bt
+        out_ref[0:8, :] = jnp.where(win, tm_c, bt)
+        out_ref[8:16, :] = jnp.where(win, um, out_ref[8:16, :])
+        out_ref[16:24, :] = jnp.where(win, vm, out_ref[16:24, :])
+        out_ref[24:32, :] = jnp.where(win, sm, out_ref[24:32, :])
 
 
 def _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles):
@@ -344,6 +420,7 @@ def make_tile_intersector(ds, accel: PairAccel, *,
             tri=jnp.asarray(prim_tri)[slot_c],
             inst=jnp.asarray(prim_inst)[slot_c],
             valid=valid,
+            slot=jnp.where(valid, slot_c, -1),
         )
 
     def closest(org, dirn, t_min, t_max) -> Hit:

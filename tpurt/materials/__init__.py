@@ -100,6 +100,67 @@ def resolve_hit(ds: DeviceScene, org, dirn, t, u, v, tri, inst) -> HitAttrs:
     )
 
 
+def resolve_hit_packed(shade_rows, org, dirn, t, u, v, slot) -> HitAttrs:
+    """Gather-lean twin of resolve_hit for cluster accels (PairAccel).
+
+    ONE row gather from the baked world-space shade table replaces ~10
+    per-field XLA gathers + the instance normal-matrix einsum (each
+    measured ~10 ms per 960k-ray bounce on the axon TPU — XLA gathers of
+    (N,3) rows run ~3.7 ns/element there). Records are 32 lanes, 4 per
+    128-lane physical row; the sub-record is picked with a 4-way select.
+    """
+    slot_c = jnp.maximum(slot, 0)
+    rows = shade_rows[slot_c // 4]  # (N, 128) — the one gather
+    sub = slot_c % 4
+    rec = rows[:, 0:32]
+    for k in (1, 2, 3):
+        rec = jnp.where((sub == k)[:, None], rows[:, 32 * k:32 * (k + 1)],
+                        rec)
+
+    w = 1.0 - u - v
+    n_geom = normalize(rec[:, 0:3])
+    ns = (
+        w[:, None] * rec[:, 3:6]
+        + u[:, None] * rec[:, 6:9]
+        + v[:, None] * rec[:, 9:12]
+    )
+    n_shade = normalize(ns)
+    pos = org + t[:, None] * dirn
+    front_face = dot(n_geom, dirn) < 0.0
+    n_geom = jnp.where(front_face[:, None], n_geom, -n_geom)
+    n_shade = jnp.where(
+        dot(n_shade, n_geom)[:, None] >= 0.0, n_shade, -n_shade
+    )
+    return HitAttrs(
+        pos=pos,
+        n_geom=n_geom,
+        n_shade=n_shade,
+        front_face=front_face,
+        mat_id=rec[:, 21].astype(jnp.int32),
+        kind=rec[:, 12].astype(jnp.int32),
+        albedo=rec[:, 13:16],
+        emission=rec[:, 16:19],
+        param0=rec[:, 19],
+        param1=rec[:, 20],
+    )
+
+
+def make_resolver(ds: DeviceScene, accel):
+    """Pick the hit-attribute resolver for this accel: the packed
+    shade-record path when the accel carries ``shade_rows`` (cluster
+    accels), else the legacy per-field gather path."""
+    shade_rows = getattr(accel, "shade_rows", None)
+    if shade_rows is not None:
+        def resolve(org, dirn, t, u, v, tri, inst, slot) -> HitAttrs:
+            return resolve_hit_packed(shade_rows, org, dirn, t, u, v,
+                                      slot)
+    else:
+        def resolve(org, dirn, t, u, v, tri, inst, slot) -> HitAttrs:
+            del slot
+            return resolve_hit(ds, org, dirn, t, u, v, tri, inst)
+    return resolve
+
+
 def eval_brdf(attrs: HitAttrs, wo: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
     """Evaluate the non-delta BRDF families for direction pair (wo, wi).
 

@@ -46,6 +46,7 @@ def path_trace_rays(
     max_bounces: int,
     use_nee: bool,
     shading_mode: str = "full",
+    resolver=None,
 ) -> jnp.ndarray:
     """Trace a batch of rays to completion; returns (N, 3) radiance.
 
@@ -60,13 +61,16 @@ def path_trace_rays(
     # ray counters [closest-hit rays, shadow rays] — the profiling stats
     # buffer (SURVEY.md §5 tracing/profiling; BASELINE.json:2 Mrays metric)
     rays_traced = jnp.zeros(2, jnp.float32)
+    if resolver is None:
+        def resolver(o, d, t, u, v, tri, inst, slot):
+            return materials.resolve_hit(ds, o, d, t, u, v, tri, inst)
 
     if shading_mode == "flat":
         # hello-triangle: unlit albedo (BASELINE.json:7 "flat shading")
         rays_traced = rays_traced.at[0].add(jnp.float32(n))
         hit = closest(org, dirn, 0.0, jnp.inf)
-        attrs = materials.resolve_hit(
-            ds, org, dirn, hit.t, hit.u, hit.v, hit.tri, hit.inst
+        attrs = resolver(
+            org, dirn, hit.t, hit.u, hit.v, hit.tri, hit.inst, hit.slot
         )
         radiance = jnp.where(
             hit.valid[:, None], attrs.albedo, ds.background
@@ -91,8 +95,8 @@ def path_trace_rays(
             (alive & ~hit.valid)[:, None], throughput * ds.background, 0.0
         )
 
-        attrs = materials.resolve_hit(
-            ds, org, dirn, hit.t, hit.u, hit.v, hit.tri, hit.inst
+        attrs = resolver(
+            org, dirn, hit.t, hit.u, hit.v, hit.tri, hit.inst, hit.slot
         )
 
         # Emission is credited on camera hits and after specular bounces;
@@ -252,6 +256,7 @@ def render_pixels(
         max_bounces=config.max_bounces,
         use_nee=config.use_nee,
         shading_mode=config.shading_mode,
+        resolver=materials.make_resolver(ds, accel),
     )
     return radiance.reshape(spp, n_px, 3).sum(axis=0), rays
 

@@ -62,6 +62,10 @@ class Hit(NamedTuple):
     tri: jnp.ndarray  # (N,) i32 global triangle id (clamped garbage on miss)
     inst: jnp.ndarray  # (N,) i32 instance id
     valid: jnp.ndarray  # (N,) bool
+    # flattened world-space prim slot in the accel (cluster builds), or
+    # -1 when the intersector has no flattened table (brute/two-level) —
+    # indexes PairAccel.shade_rows for gather-free-ish shading
+    slot: jnp.ndarray = None  # type: ignore[assignment]
 
 
 Intersector = Callable[..., Hit]
@@ -142,6 +146,7 @@ def make_brute_force(ds: DeviceScene, meta: SceneMeta):
             tri=best_tri,
             inst=best_inst,
             valid=found,
+            slot=jnp.full_like(best_tri, -1),
         )
 
     def any_hit(org, dirn, t_min, t_max) -> jnp.ndarray:

@@ -116,20 +116,21 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         return hit, state._replace(rays=rays)
 
     @jax.jit
-    def shade(ds, state: WaveState, hit, seed, sample0, bounce):
+    def shade(ds, accel, state: WaveState, hit, seed, sample0, bounce):
         """Pure-XLA stage: miss/emission events, NEE shadow-ray setup,
         bounce sampling. ``bounce`` is a device scalar — one executable
         serves every bounce depth."""
         sampler = _sampler(seed, sample0)
+        resolver = materials.make_resolver(ds, accel)
         hit_valid = hit.valid & state.alive
         radiance = state.radiance + jnp.where(
             (state.alive & ~hit.valid)[:, None],
             state.throughput * ds.background,
             0.0,
         )
-        attrs = materials.resolve_hit(
-            ds, state.org, state.dirn, hit.t, hit.u, hit.v, hit.tri,
-            hit.inst,
+        attrs = resolver(
+            state.org, state.dirn, hit.t, hit.u, hit.v, hit.tri,
+            hit.inst, hit.slot,
         )
         radiance = radiance + jnp.where(
             (hit_valid & state.allow_emission)[:, None],
@@ -219,12 +220,12 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         _dbg("raygen", state.org)
         if config.shading_mode == "flat":
             hit, state = trace(ds, accel, state)
-            return _flat_resolve(ds, state, hit)
+            return _flat_resolve(ds, accel, state, hit)
         for bounce in range(config.max_bounces + 1):
             hit, state = trace(ds, accel, state)
             _dbg(f"trace[{bounce}]", hit.t)
             b = jnp.uint32(bounce)
-            state, shadow = shade(ds, state, hit, seed, sample0, b)
+            state, shadow = shade(ds, accel, state, hit, seed, sample0, b)
             _dbg(f"shade[{bounce}]", state.radiance)
             if shadow is not None:
                 state = occlude(ds, accel, state, shadow)
@@ -232,10 +233,10 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         return resolve(state)
 
     @jax.jit
-    def _flat_resolve(ds, state: WaveState, hit):
-        attrs = materials.resolve_hit(
-            ds, state.org, state.dirn, hit.t, hit.u, hit.v, hit.tri,
-            hit.inst,
+    def _flat_resolve(ds, accel, state: WaveState, hit):
+        attrs = materials.make_resolver(ds, accel)(
+            state.org, state.dirn, hit.t, hit.u, hit.v, hit.tri,
+            hit.inst, hit.slot,
         )
         radiance = jnp.where(
             hit.valid[:, None], attrs.albedo, ds.background

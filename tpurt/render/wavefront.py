@@ -149,6 +149,7 @@ def render_batch_wavefront(
     capacity = min(config.wavefront_capacity, w * h * config.spp_per_batch)
     total_paths = jnp.uint32(w * h * config.spp_per_batch)
     closest, any_hit = make_intersectors(ds, accel, meta=meta, config=config)
+    resolver = materials.make_resolver(ds, accel)
     use_nee = config.use_nee
 
     def wave(loop: WaveLoop) -> WaveLoop:
@@ -174,8 +175,9 @@ def render_batch_wavefront(
             jnp.where(missed[:, None], state.throughput * ds.background, 0.0)
         )
 
-        attrs = materials.resolve_hit(
-            ds, state.org, state.dirn, hit.t, hit.u, hit.v, hit.tri, hit.inst
+        attrs = resolver(
+            state.org, state.dirn, hit.t, hit.u, hit.v, hit.tri,
+            hit.inst, hit.slot,
         )
 
         # --- G9 material sort (+ G8 compaction: dead lanes sink last).
