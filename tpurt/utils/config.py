@@ -51,15 +51,18 @@ class RenderConfig:
     # "morton" (full origin×direction Morton argsort)
     packet_ray_sort: str = "none"
     # execution pipeline: "mega" fuses a whole progressive batch into one
-    # XLA program (fastest, measured 1.8× over staged); "staged" runs one
-    # small executable per wave stage (fast compiles, lowest memory —
-    # see tpurt.render.staged); "wavefront" is the compaction pipeline
-    # (G8/G9). "auto" = mega.
+    # XLA program; "staged" runs one small executable per wave stage (see
+    # tpurt.render.staged); "wavefront" is the compaction pipeline
+    # (G8/G9). "auto": staged on TPU — with dispatch de-poisoned it beats
+    # mega e2e (bunny 4.36 vs 3.6 Mrays/s) AND compiles ~3× faster
+    # (265 s vs >890 s through the remote compile service); mega on CPU
+    # (fusion wins there, compiles are local/fast).
     pipeline: str = "auto"  # "auto" | "mega" | "staged" | "wavefront"
 
     def resolved_pipeline(self, platform: str) -> str:
-        del platform
-        return "mega" if self.pipeline == "auto" else self.pipeline
+        if self.pipeline != "auto":
+            return self.pipeline
+        return "staged" if platform == "tpu" else "mega"
     wavefront_capacity: int = 1 << 16  # ring-buffer lanes (G8)
     material_sort: bool = True  # G9 sort-by-material before shading
     # distributed execution (X1/X2): axis sizes; 1 = single chip
