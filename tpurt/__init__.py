@@ -21,7 +21,21 @@ __version__ = "0.1.0"
 # (Cornell's 555-unit coordinates lose ~3 decimal digits — reproduced as
 # ~1e-3 relative hit-distance error vs the CPU oracle). The renderer has no
 # throughput-critical matmuls, so this costs nothing.
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_default_matmul_precision", "float32")
-del _jax
+
+# Persistent XLA compilation cache: the tunneled remote compile service
+# takes 300–900 s to build the render pipelines cold, and the disk cache
+# verifiably works through it (1.1 s → 0.01 s recompile, measured). One
+# compile per (program, shape) ever, shared across processes.
+_cache_dir = _os.environ.get(
+    "TPURT_JAX_CACHE_DIR",
+    _os.path.expanduser("~/.cache/tpurt_jax_cache"),
+)
+if _cache_dir and _cache_dir != "0":
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+del _jax, _os, _cache_dir
