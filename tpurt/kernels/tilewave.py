@@ -49,7 +49,13 @@ from tpurt.kernels.packet import BIG, EPS_DENOM, _ray_sort_keys, \
     _use_interpret
 from tpurt.render.intersectors import Hit
 
-TILE = 1024  # rays per tile: one (8, 128) f32 tile per SoA field
+import os as _os
+
+# rays per tile: TILE/128 sublane rows per SoA field. 1024 = one (8,128)
+# native VPU tile; 2048 halves the per-row lane-extract amortization at
+# the cost of wider tile unions (env-tunable for benchmarking).
+TILE = int(_os.environ.get("TPURT_TILE_SIZE", 1024))
+SUB = TILE // 128  # sublane rows per field
 _TPR = 12
 _LANES_PER_TRI = 10
 
@@ -122,8 +128,8 @@ def _fold_candidates(cand):
 def _tile_kernel(
     pk_ref,  # scalar prefetch (SMEM): pair → tile·2¹⁶ + cluster + 1
     tri_ref,  # (R, 128) f32 VMEM — packed tri table
-    ray_ref,  # (56, 128) — packed ray tile: ox|oy|oz|dx|dy|dz|tm × 8 rows
-    out_ref,  # (32, 128) — packed best state: bt|bu|bv|bs × 8 rows
+    ray_ref,  # (7·SUB, 128) — packed ray tile: ox|oy|oz|dx|dy|dz|tm
+    out_ref,  # (4·SUB, 128) — packed best state: bt|bu|bv|bs
     *,
     unroll: bool,
     any_hit: bool,
@@ -140,10 +146,11 @@ def _tile_kernel(
 
     @pl.when(first)
     def _():
-        tm = ray_ref[48:56, :]
-        out_ref[0:8, :] = jnp.where(tm >= 0.0, tm, -1.0)
-        out_ref[8:24, :] = jnp.zeros((16, 128), jnp.float32)
-        out_ref[24:32, :] = jnp.full((8, 128), -1.0, jnp.float32)
+        tm = ray_ref[6 * SUB:7 * SUB, :]
+        out_ref[0:SUB, :] = jnp.where(tm >= 0.0, tm, -1.0)
+        out_ref[SUB:3 * SUB, :] = jnp.zeros((2 * SUB, 128), jnp.float32)
+        out_ref[3 * SUB:4 * SUB, :] = jnp.full((SUB, 128), -1.0,
+                                               jnp.float32)
 
     do = c >= 0
     if any_hit:
@@ -152,17 +159,20 @@ def _tile_kernel(
         # — shadow waves in closed scenes occlude fast, and this was the
         # single biggest kernel cost of the staged pipeline (116 ms per
         # 960k-ray occlude, profiled)
-        done = jnp.all((out_ref[24:32, :] >= 0.0) | (out_ref[0:8, :] < 0.0))
+        done = jnp.all(
+            (out_ref[3 * SUB:4 * SUB, :] >= 0.0)
+            | (out_ref[0:SUB, :] < 0.0)
+        )
         do = do & (first | ~done)
 
     @pl.when(do)
     def _():
-        ox = ray_ref[0:8, :]
-        oy = ray_ref[8:16, :]
-        oz = ray_ref[16:24, :]
-        dx = ray_ref[24:32, :]
-        dy = ray_ref[32:40, :]
-        dz = ray_ref[40:48, :]
+        ox = ray_ref[0:SUB, :]
+        oy = ray_ref[SUB:2 * SUB, :]
+        oz = ray_ref[2 * SUB:3 * SUB, :]
+        dx = ray_ref[3 * SUB:4 * SUB, :]
+        dy = ray_ref[4 * SUB:5 * SUB, :]
+        dz = ray_ref[5 * SUB:6 * SUB, :]
         base = c * ROWS_PER_CLUSTER
         if unroll:
             # hardware: rows are independent of each other (the previous
@@ -187,19 +197,22 @@ def _tile_kernel(
                 _row_candidates(row, ox, oy, oz, dx, dy, dz, out)
                 return _fold_candidates(out + [cr])
 
-            init = (jnp.full((8, 128), BIG, jnp.float32),
-                    jnp.zeros((8, 128), jnp.float32),
-                    jnp.zeros((8, 128), jnp.float32),
-                    jnp.full((8, 128), -1.0, jnp.float32))
+            init = (jnp.full((SUB, 128), BIG, jnp.float32),
+                    jnp.zeros((SUB, 128), jnp.float32),
+                    jnp.zeros((SUB, 128), jnp.float32),
+                    jnp.full((SUB, 128), -1.0, jnp.float32))
             tm_c, um, vm, sm = jax.lax.fori_loop(
                 0, ROWS_PER_CLUSTER, rbody, init
             )
-        bt = out_ref[0:8, :]
+        bt = out_ref[0:SUB, :]
         win = tm_c < bt
-        out_ref[0:8, :] = jnp.where(win, tm_c, bt)
-        out_ref[8:16, :] = jnp.where(win, um, out_ref[8:16, :])
-        out_ref[16:24, :] = jnp.where(win, vm, out_ref[16:24, :])
-        out_ref[24:32, :] = jnp.where(win, sm, out_ref[24:32, :])
+        out_ref[0:SUB, :] = jnp.where(win, tm_c, bt)
+        out_ref[SUB:2 * SUB, :] = jnp.where(win, um,
+                                            out_ref[SUB:2 * SUB, :])
+        out_ref[2 * SUB:3 * SUB, :] = jnp.where(
+            win, vm, out_ref[2 * SUB:3 * SUB, :])
+        out_ref[3 * SUB:4 * SUB, :] = jnp.where(
+            win, sm, out_ref[3 * SUB:4 * SUB, :])
 
 
 def _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles):
@@ -302,19 +315,20 @@ def _trace_tiles(org, dirn, t_max_vec, lo, hi, tri_rows, *, n_clusters,
     # prefetch operand lives in SMEM, so one array halves the footprint
     packed = pair_tile * 65536 + (pair_cluster + 1)
 
-    # one packed (T·56, 128) ray operand: ox|oy|oz|dx|dy|dz|tm per tile
+    # one packed (T·7·SUB, 128) ray operand: ox|oy|oz|dx|dy|dz|tm per tile
     ray_pack = jnp.concatenate(
-        [a.reshape(n_tiles, 8, 128) for a in (
+        [a.reshape(n_tiles, SUB, 128) for a in (
             org[:, 0], org[:, 1], org[:, 2],
             dirn[:, 0], dirn[:, 1], dirn[:, 2], t_max_vec)],
         axis=1,
-    ).reshape(n_tiles * 56, 128)
+    ).reshape(n_tiles * 7 * SUB, 128)
 
-    in_spec = pl.BlockSpec((56, 128), lambda i, pk: (pk[i] >> 16, 0),
+    in_spec = pl.BlockSpec((7 * SUB, 128), lambda i, pk: (pk[i] >> 16, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((32, 128), lambda i, pk: (pk[i] >> 16, 0),
+    out_spec = pl.BlockSpec((4 * SUB, 128), lambda i, pk: (pk[i] >> 16, 0),
                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((n_tiles * 32, 128), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((n_tiles * 4 * SUB, 128),
+                                     jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(pair_cap,),
@@ -330,7 +344,7 @@ def _trace_tiles(org, dirn, t_max_vec, lo, hi, tri_rows, *, n_clusters,
         interpret=interpret,
     )(packed, tri_rows, ray_pack)[0]
     (out,) = jax.lax.optimization_barrier((out,))
-    out = out.reshape(n_tiles, 4, 8, 128)
+    out = out.reshape(n_tiles, 4, SUB, 128)
     bt = out[:, 0].reshape(n)
     bu = out[:, 1].reshape(n)
     bv = out[:, 2].reshape(n)
