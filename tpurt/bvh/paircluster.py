@@ -254,6 +254,14 @@ def build_pair_accel(ds: DeviceScene, meta: SceneMeta,
     lo = pmin.reshape(n_clusters, TRIS_PER_CLUSTER, 3).min(1)
     hi = pmax.reshape(n_clusters, TRIS_PER_CLUSTER, 3).max(1)
 
+    # stuff each cluster's AABB into its first row's spare lanes
+    # (12 tris × 10 lanes = 120 used, lanes 120–125 free): the kernel's
+    # SMEM copy then carries the box for the exact per-pair pre-test
+    # with zero extra transport
+    first_rows = np.arange(n_clusters) * ROWS_PER_CLUSTER
+    tri_rows[first_rows, 120:123] = lo.astype(np.float32)
+    tri_rows[first_rows, 123:126] = hi.astype(np.float32)
+
     shade_rows = build_shade_rows(
         ds, meta, v0, v1, v2, tri_id, inst_id, n_slots=t, scene=scene
     )

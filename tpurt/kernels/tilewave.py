@@ -242,6 +242,56 @@ def _tile_kernel(
         )
         do = do & (first | ~done)
 
+    if smem_tri:
+        # exact per-pair pre-test: the cluster's AABB rides in its first
+        # SMEM row's spare lanes; slab-test it against the tile's rays
+        # with the CURRENT best t as the far limit. Skipping is exact
+        # (a triangle inside the box cannot beat a best t the box itself
+        # cannot beat), kills both the conservative-mask false positives
+        # (~40% of pairs) and distance-culled clusters, and costs ~20
+        # vector ops vs ~1.4 µs of row tests.
+        sm0 = scratch[0]
+        slot0 = slot  # computed at kernel top (program_id inside a cond
+        # branch has no lowering rule in interpret mode)
+
+        def _pretest():
+            blox = sm0[slot0, 0, 120]
+            bloy = sm0[slot0, 0, 121]
+            bloz = sm0[slot0, 0, 122]
+            bhix = sm0[slot0, 0, 123]
+            bhiy = sm0[slot0, 0, 124]
+            bhiz = sm0[slot0, 0, 125]
+            ox = ray_ref[0:SUB, :]
+            oy = ray_ref[SUB:2 * SUB, :]
+            oz = ray_ref[2 * SUB:3 * SUB, :]
+            ivx = ray_ref[7 * SUB:8 * SUB, :]
+            ivy = ray_ref[8 * SUB:9 * SUB, :]
+            ivz = ray_ref[9 * SUB:10 * SUB, :]
+            bt = out_ref[0:SUB, :]
+            t0x = (blox - ox) * ivx
+            t1x = (bhix - ox) * ivx
+            t0y = (bloy - oy) * ivy
+            t1y = (bhiy - oy) * ivy
+            t0z = (bloz - oz) * ivz
+            t1z = (bhiz - oz) * ivz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x),
+                            jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x),
+                            jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), bt),
+            )
+            return jnp.any(tn <= tf)
+
+        # unconditional: ~20 vector ops; for dead pairs (c < 0, no DMA
+        # waited) the SMEM scalars are stale garbage but the result is
+        # discarded by the AND. A lax.cond here tripped a Mosaic scf.if
+        # verifier bug (i32/i1 yield mismatch).
+        do = do & _pretest()
+
     @pl.when(do)
     def _():
         ox = ray_ref[0:SUB, :]
@@ -253,7 +303,7 @@ def _tile_kernel(
         base = c * ROWS_PER_CLUSTER
         if smem_tri:
             sm_scr = scratch[0]
-            slot_b = jax.lax.rem(pl.program_id(0), 2)
+            slot_b = slot
             rows_out = []
             for r in range(ROWS_PER_CLUSTER):
                 cand = []
@@ -403,15 +453,21 @@ def _trace_tiles(org, dirn, t_max_vec, lo, hi, tri_rows, *, n_clusters,
     # prefetch operand lives in SMEM, so one array halves the footprint
     packed = pair_tile * 65536 + (pair_cluster + 1)
 
-    # one packed (T·7·SUB, 128) ray operand: ox|oy|oz|dx|dy|dz|tm per tile
+    # one packed (T·10·SUB, 128) ray operand per tile:
+    # ox|oy|oz|dx|dy|dz|tm|ivx|ivy|ivz (inverse dirs feed the kernel's
+    # exact per-pair box pre-test)
+    inv_d = 1.0 / jnp.where(jnp.abs(dirn) < 1e-12,
+                            jnp.where(dirn >= 0.0, 1e-12, -1e-12), dirn)
     ray_pack = jnp.concatenate(
         [a.reshape(n_tiles, SUB, 128) for a in (
             org[:, 0], org[:, 1], org[:, 2],
-            dirn[:, 0], dirn[:, 1], dirn[:, 2], t_max_vec)],
+            dirn[:, 0], dirn[:, 1], dirn[:, 2], t_max_vec,
+            inv_d[:, 0], inv_d[:, 1], inv_d[:, 2])],
         axis=1,
-    ).reshape(n_tiles * 7 * SUB, 128)
+    ).reshape(n_tiles * 10 * SUB, 128)
 
-    in_spec = pl.BlockSpec((7 * SUB, 128), lambda i, pk: (pk[i] >> 16, 0),
+    in_spec = pl.BlockSpec((10 * SUB, 128),
+                           lambda i, pk: (pk[i] >> 16, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((4 * SUB, 128), lambda i, pk: (pk[i] >> 16, 0),
                             memory_space=pltpu.VMEM)
@@ -426,9 +482,10 @@ def _trace_tiles(org, dirn, t_max_vec, lo, hi, tri_rows, *, n_clusters,
     (ray_pack,) = jax.lax.optimization_barrier((ray_pack,))
     # default ON for hardware: SMEM scalar broadcast measured 15.2/9.2
     # Mrays/s vs 12.6/7.2 for vector lane extracts (bunny closest-hit,
-    # coherent/shuffled). TPURT_SMEM_TRI=0 reverts.
-    smem_tri = (not interpret) and _os.environ.get(
-        "TPURT_SMEM_TRI", "1") == "1"
+    # coherent/shuffled). TPURT_SMEM_TRI=0 reverts; =1 forces it in
+    # interpret mode too (CPU tests of the SMEM/pre-test path).
+    smem_tri = _os.environ.get(
+        "TPURT_SMEM_TRI", "" if interpret else "1") == "1"
     scratch = []
     if smem_tri:
         scratch = [
