@@ -542,7 +542,8 @@ def make_tile_intersector(ds, accel: PairAccel, *,
     n_clusters = int(accel.cluster_lo.shape[0])
     n_prims = prim_tri.shape[0]
 
-    def _run(org, dirn, t_max, any_hit=False):
+    def _run(org, dirn, t_max, any_hit=False, sort=None):
+        sort = ray_sort if sort is None else sort
         n = org.shape[0]
         tmv = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
         tmv = jnp.where(jnp.isfinite(tmv), tmv, BIG)
@@ -558,7 +559,7 @@ def make_tile_intersector(ds, accel: PairAccel, *,
                 [tmv, jnp.full(pad, -1.0, jnp.float32)]
             )
         restore_key = None
-        if ray_sort == "morton":
+        if sort == "morton":
             # Tile-coherence reorder for incoherent (bounce) waves: sort
             # rays by origin-Morton × direction-Morton. Both the forward
             # permutation and the un-permute ride multi-operand lax.sort —
@@ -618,8 +619,11 @@ def make_tile_intersector(ds, accel: PairAccel, *,
         return _hit_from(bt, bu, bv, bs)
 
     def any_hit(org, dirn, t_min, t_max):
+        # shadow/occlusion waves are origin-tile + single-light coherent
+        # already; the Morton reorder costs ~12 ms/trace for nothing
         del t_min
-        _, _, _, bs, _ = _run(org, dirn, t_max, any_hit=True)
+        _, _, _, bs, _ = _run(org, dirn, t_max, any_hit=True,
+                              sort="none")
         return bs >= 0.0
 
     def closest_with_stats(org, dirn, t_min, t_max):

@@ -198,10 +198,18 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
 
     @jax.jit
     def resolve(state: WaveState):
-        """Per-pixel sums in row-major image layout + ray counters."""
+        """Per-pixel sums in row-major image layout + ray counters.
+
+        The tile→raster permutation rides a 4-operand lax.sort: XLA
+        scatter cost ~19 ms per batch here, sort ~2 ms (the axon
+        gather/scatter-vs-sort law, PARITY.md)."""
         total = state.radiance.reshape(spp, px.shape[0], 3).sum(axis=0)
-        img = jnp.zeros((h * w, 3), jnp.float32).at[linear].set(total)
-        return img.reshape(h, w, 3), state.rays
+        _, r, g, b = jax.lax.sort(
+            (jnp.asarray(linear), total[:, 0], total[:, 1],
+             total[:, 2]),
+            num_keys=1,
+        )
+        return jnp.stack([r, g, b], axis=1).reshape(h, w, 3), state.rays
 
     import os
     import time
