@@ -582,6 +582,9 @@ def make_tile_intersector(ds, accel: PairAccel, *,
             dirn = jnp.stack([dx_s, dy_s, dz_s], axis=1)
             tmv = tm_s
         n_tiles = (n + pad) // TILE
+        # packed-prefetch encoding limits (tile·2^16 + cluster + 1, i32)
+        assert n_clusters < 65535, "pair encoding caps clusters at 65534"
+        assert n_tiles < 32768, "pair encoding caps tiles at 32767"
         clamp = (
             n_clusters + 1 if pairs_per_tile <= 0
             else min(pairs_per_tile, n_clusters + 1)

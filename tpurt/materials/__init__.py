@@ -289,7 +289,22 @@ def sample_light(ds: DeviceScene, pos: jnp.ndarray, sampler, bounce: int):
     b0 = 1.0 - su
     b1 = u[:, 1] * su
     b2 = 1.0 - b0 - b1
-    lv0, lv1, lv2 = ds.light_v0[pick], ds.light_v1[pick], ds.light_v2[pick]
+    n_table = ds.light_v0.shape[0]
+    if n_table <= 64:
+        # one-hot matmul select: XLA gathers run ~4 ns/element on this
+        # backend (PARITY.md), a (N, L) one-hot contraction is dense VPU
+        # work and far cheaper for the small emissive tables of these
+        # scenes
+        onehot = (
+            pick[:, None] == jnp.arange(n_table, dtype=jnp.int32)[None]
+        ).astype(jnp.float32)
+        sel3 = lambda tab: onehot @ tab
+        lv0 = sel3(ds.light_v0)
+        lv1 = sel3(ds.light_v1)
+        lv2 = sel3(ds.light_v2)
+    else:
+        lv0, lv1, lv2 = (ds.light_v0[pick], ds.light_v1[pick],
+                         ds.light_v2[pick])
     lp = b0[:, None] * lv0 + b1[:, None] * lv1 + b2[:, None] * lv2
     ln = jnp.cross(lv1 - lv0, lv2 - lv0)
     ln = normalize(ln)
@@ -300,9 +315,14 @@ def sample_light(ds: DeviceScene, pos: jnp.ndarray, sampler, bounce: int):
     wi = to_light / dist[:, None]
 
     cos_light = jnp.abs(dot(ln, wi))  # lights emit from both faces
-    area = ds.light_area[pick]
+    if n_table <= 64:
+        area = onehot @ ds.light_area
+        emission = onehot @ ds.light_emission
+    else:
+        area = ds.light_area[pick]
+        emission = ds.light_emission[pick]
     # pdf over area → solid angle: pdf_w = dist² / (cos_light · area · n_lights)
     g = cos_light * area * n_lights.astype(jnp.float32) / dist2
-    radiance_over_pdf = ds.light_emission[pick] * g[:, None]
+    radiance_over_pdf = emission * g[:, None]
     valid = (ds.num_lights > 0) & (area > 0.0) & (cos_light > 1e-6)
     return wi, dist, radiance_over_pdf, valid
