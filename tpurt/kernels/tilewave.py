@@ -522,7 +522,8 @@ def make_tile_intersector(ds, accel: PairAccel, *,
                           interpret: bool | None = None,
                           pairs_per_tile: int = 96,
                           pairs_avg: int = 0,
-                          ray_sort: str = "none"):
+                          ray_sort: str = "none",
+                          lean: bool = False):
     """Closest/any-hit pair over uniform Morton clusters, tile-granular
     (same interface as make_brute_force / make_packet_intersector).
 
@@ -606,12 +607,21 @@ def make_tile_intersector(ds, accel: PairAccel, *,
         slot = bs.astype(jnp.int32)
         valid = slot >= 0
         slot_c = jnp.clip(slot, 0, n_prims - 1)
+        if lean:
+            # render pipelines shade via the packed resolver, which reads
+            # only ``slot`` — the prim_tri/prim_inst gathers (~4 ns/elt
+            # on this backend, 2×N per trace) would be dead weight
+            tri = slot_c
+            inst = jnp.zeros_like(slot_c)
+        else:
+            tri = jnp.asarray(prim_tri)[slot_c]
+            inst = jnp.asarray(prim_inst)[slot_c]
         return Hit(
             t=jnp.where(valid, bt, jnp.inf),
             u=bu,
             v=bv,
-            tri=jnp.asarray(prim_tri)[slot_c],
-            inst=jnp.asarray(prim_inst)[slot_c],
+            tri=tri,
+            inst=inst,
             valid=valid,
             slot=jnp.where(valid, slot_c, -1),
         )

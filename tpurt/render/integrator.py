@@ -187,9 +187,12 @@ def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
             )
         from tpurt.kernels.tilewave import make_tile_intersector
 
+        # lean: the pipelines shade through the packed resolver (slot
+        # only), so the Hit tri/inst gathers are skipped
         return make_tile_intersector(
             ds, accel, pairs_per_tile=config.pairs_per_tile,
             pairs_avg=config.pairs_avg, ray_sort=config.tile_ray_sort,
+            lean=True,
         )
     if isinstance(accel, PacketAccel) or (
         isinstance(accel, tuple) and hasattr(accel, "tri_rows")
