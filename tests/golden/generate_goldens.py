@@ -36,6 +36,13 @@ GOLDENS = {
                     max_bounces=0),
     "cornell_pt": dict(width=48, height=48, spp=8, spp_per_batch=4,
                        max_bounces=4),
+    # configs 3 and 5 at FULL geometry scale (82k-tri bunny stand-in,
+    # 230k-instanced-tri sponza stand-in) — resolution shrunk for CPU
+    # runtime, geometry is the ladder's (BASELINE.json:9,11)
+    "bunny": dict(width=64, height=48, spp=2, spp_per_batch=2,
+                  max_bounces=2),
+    "sponza": dict(width=80, height=45, spp=2, spp_per_batch=2,
+                   max_bounces=2),
 }
 
 

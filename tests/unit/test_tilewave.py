@@ -115,6 +115,55 @@ def test_overflow_flag(rng):
     assert stats[1] == 1.0  # overflow reported
 
 
+def test_overflow_no_garbage(rng):
+    """Under total budget overflow every real pair is dropped, but every
+    tile's output block must still be initialized by its guaranteed
+    sentinel — hits degrade to misses, never to garbage slots."""
+    scene = bunny_standin(subdivisions=3)
+    meta = scene_meta(scene)
+    ds = to_device(scene)
+    accel = build_pair_accel(ds, meta, scene=scene)
+    t_closest, t_any = make_tile_intersector(
+        ds, accel, interpret=True, pairs_per_tile=1, pairs_avg=1
+    )
+    center = np.asarray(
+        (np.asarray(ds.tri_v0).min(0) + np.asarray(ds.tri_v0).max(0)) / 2
+    )
+    org, dirn = _rand_rays(rng, 4096, center, 3.0)
+    hit, stats = t_closest.with_stats(org, dirn, 0.0, jnp.inf)
+    assert np.asarray(stats)[1] == 1.0
+    assert not np.any(np.asarray(hit.valid))
+    assert np.all(np.asarray(hit.slot) == -1)
+    occ, stats = t_any.with_stats(org, dirn, 0.0, jnp.inf)
+    assert np.asarray(stats)[1] == 1.0
+    assert not np.any(np.asarray(occ))
+
+
+def test_render_scene_budget_auto_retry():
+    """render_scene must detect a pair-budget overflow, retry with doubled
+    budgets, and produce the same image as an adequate budget (VERDICT
+    round-1 item 6)."""
+    from tpurt.render import render_scene
+    from tpurt.utils.config import get_config
+
+    base = get_config(
+        "cornell", width=48, height=48, spp=2, spp_per_batch=2,
+        max_bounces=1, intersector="bvh_tile",
+    )
+    import dataclasses
+
+    tiny = dataclasses.replace(base, pairs_per_tile=1, pairs_avg=1)
+    st_tiny, stats_tiny = render_scene(tiny)
+    assert stats_tiny["budget_retries"] > 0
+    assert not stats_tiny["pair_overflow"]
+    st_ok, stats_ok = render_scene(base)
+    assert stats_ok["budget_retries"] == 0
+    np.testing.assert_allclose(
+        np.asarray(st_tiny.accum), np.asarray(st_ok.accum),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
 def test_ray_sort_matches_unsorted(cornell_setup, rng):
     """morton ray-sort must be a pure reorder: identical results."""
     scene = cornell_box(path_tracer=True)

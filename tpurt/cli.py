@@ -32,8 +32,10 @@ def _add_config_overrides(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--seed", type=int)
     ap.add_argument("--exposure", type=float)
     ap.add_argument("--intersector",
-                    choices=["auto", "brute", "bvh", "bvh_packet"])
-    ap.add_argument("--pipeline", choices=["mega", "wavefront"])
+                    choices=["auto", "brute", "bvh", "bvh_packet",
+                             "bvh_pair", "bvh_tile"])
+    ap.add_argument("--pipeline",
+                    choices=["auto", "mega", "staged", "wavefront"])
     ap.add_argument("--no-nee", action="store_true",
                     help="disable next-event estimation")
     ap.add_argument("--sample-shards", type=int, dest="n_sample_shards",
@@ -118,34 +120,63 @@ def cmd_animate(args) -> int:
     os.makedirs(args.out_dir, exist_ok=True)
     t0 = time.perf_counter()
     total_rays = 0.0
-    # Keep every frame ON DEVICE until all frames are rendered: any
-    # device→host readback mid-run permanently degrades dispatch latency
-    # on the axon backend (benchmarks/profile_poison.py), so PNG encoding
-    # happens in one readback pass at the end.
+    # Frames stay ON DEVICE between flushes: any device→host readback
+    # mid-run permanently degrades dispatch latency on the axon backend
+    # (benchmarks/profile_poison.py). But holding EVERY frame until the
+    # end grows device memory linearly with --frames (OOM on long
+    # flythroughs) and loses all PNGs on a late-frame failure — so the
+    # backlog is flushed every --readback-chunk frames (0 = only at the
+    # end, the fastest choice on axon for short runs).
+    import jax
+    import numpy as np
+
+    chunk = args.readback_chunk
     frames = []
+    written = 0
+
+    def _flush():
+        nonlocal written
+        jax.block_until_ready(frames)
+        for g, img in enumerate(frames):
+            path = os.path.join(args.out_dir, f"frame_{written + g:04d}.png")
+            write_png(path, np.asarray(img))
+        written += len(frames)
+        frames.clear()
+
     for f, cam in enumerate(cams):
         state, stats = render_scene(config, scene=scene, camera=cam,
                                     readback_stats=False)
         total_rays += stats["rays_traced"]
         frames.append(fb.pack_u8(fb.tonemap(fb.resolve(state),
                                             config.exposure)))
+        if chunk and len(frames) >= chunk:
+            _flush()
         if args.verbose:
             print(f"  frame {f + 1}/{len(cams)}: {stats['mrays_per_s']:.2f} "
                   f"Mrays/s (est)")
-    import jax
-
-    jax.block_until_ready(frames)
+    _flush()
     elapsed = time.perf_counter() - t0
-    import numpy as np
-
-    for f, img in enumerate(frames):
-        path = os.path.join(args.out_dir, f"frame_{f:04d}.png")
-        write_png(path, np.asarray(img))
     print(
         f"{len(cams)} frames → {args.out_dir} in {elapsed:.1f}s "
         f"({elapsed / len(cams) * 1e3:.0f} ms/frame, "
         f"{total_rays / elapsed / 1e6:.2f} Mrays/s)"
     )
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Materialize a scene (preset or file) as a standard .obj/.glb/.gltf
+    asset — the demo-asset path (BASELINE.json:9,11): presets are
+    procedural stand-ins, exported to real files and reloaded through the
+    C5/C6 loaders."""
+    from tpurt.scene.export import export_scene
+    from tpurt.scene.loader import load_scene
+
+    scene = load_scene(args.config)
+    export_scene(args.out, scene)
+    ntri = scene.num_triangles
+    print(f"{args.out}: {len(scene.meshes)} meshes, "
+          f"{len(scene.instances)} instances, {ntri} unique tris")
     return 0
 
 
@@ -182,8 +213,18 @@ def main(argv=None) -> int:
     _add_config_overrides(a)
     a.add_argument("--frames", type=int, default=8)
     a.add_argument("--out-dir", default="frames")
+    a.add_argument("--readback-chunk", type=int, default=64,
+                   dest="readback_chunk",
+                   help="flush frames to PNG every N frames (bounds device "
+                        "memory; 0 = one readback at the end)")
     a.add_argument("--verbose", "-v", action="store_true")
     a.set_defaults(fn=cmd_animate)
+
+    e = sub.add_parser("export", help="write a scene to .obj/.glb/.gltf")
+    e.add_argument("--config", default="bunny",
+                   help="preset name or scene file")
+    e.add_argument("--out", required=True)
+    e.set_defaults(fn=cmd_export)
 
     i = sub.add_parser("info", help="show devices and presets")
     i.add_argument("--cpu", action="store_true")

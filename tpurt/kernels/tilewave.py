@@ -11,10 +11,11 @@ scatters while the actual intersection kernel took 23 ms):
   1. CULL (XLA, fused):  tile_mask[T, C] — does ANY ray of tile t hit
      cluster c's AABB?  A dense slab test reduced over the tile axis;
      nothing big materializes.
-  2. EXPAND (XLA, tiny): nonzero over the (T, C+1) mask — ~10⁵ elements,
-     not 10⁸. Column 0 is an always-true sentinel so every tile emits at
-     least one pair (the kernel initializes a tile's output on its first
-     pair). Pairs are tile-major by construction — no sort.
+  2. EXPAND (XLA, tiny): nonzero over the (T, C) mask — ~10⁵ elements,
+     not 10⁸ — then a small lax.sort merges in one GUARANTEED sentinel
+     pair per tile (cluster −1; the kernel initializes a tile's output on
+     its first pair, so every output block is always written even under
+     budget overflow). Pairs are tile-major after the merge.
   3. TEST (Pallas):      grid over pairs. Scalar-prefetched pair arrays
      drive the BlockSpec index maps, so each grid step reads its ray
      tile DIRECTLY from the SoA buffers (no gather) and accumulates
@@ -424,30 +425,42 @@ def _trace_tiles(org, dirn, t_max_vec, lo, hi, tri_rows, *, n_clusters,
     n_tiles = n // TILE
     assert n % TILE == 0, "caller pads rays to TILE"
     mask = _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles)
-    # sentinel column 0: every tile emits one pair so its output block is
-    # initialized even when it hits nothing
-    ext = jnp.concatenate(
-        [jnp.ones((n_tiles, 1), bool), mask], axis=1
-    )  # (T, C+1) — flat nonzero order is tile-major
-    n_pairs = ext.sum(dtype=jnp.int32)
-    # clamp each tile to its budget BEFORE expansion: an overfull tile
-    # loses its trailing (Morton-order) clusters — flagged — but every
-    # other tile stays exact and no tile ever loses its sentinel. The
-    # GLOBAL cap (= kernel grid size) may be smaller than T×clamp: tiles
-    # borrow slack from each other; exceeding it is flagged too (then
-    # trailing tiles lose pairs).
-    rank = jnp.cumsum(ext.astype(jnp.int32), axis=1)
-    overflow = jnp.any(rank[:, -1] > per_tile_clamp)
-    ext = ext & (rank <= per_tile_clamp)
-    overflow = overflow | (ext.sum(dtype=jnp.int32) > pair_cap)
-    idx = jnp.nonzero(ext.ravel(), size=pair_cap, fill_value=-1)[0]
-    idx = idx.astype(jnp.int32)
-    valid = idx >= 0
-    # fills → last tile (adjacent to the final real pairs: the sentinel
-    # guarantees tile T-1 owns the last real pair, so no spurious re-init)
-    pair_tile = jnp.where(valid, idx // (n_clusters + 1), n_tiles - 1)
+    n_pairs = mask.sum(dtype=jnp.int32) + n_tiles
+    # Every tile owns ONE guaranteed sentinel pair (cluster −1) so its
+    # output block is initialized even when it hits nothing — the
+    # sentinels are merged in AFTER global-cap truncation (below), so no
+    # overflow mode can ever leave a block uninitialized (garbage bs ≥ 0
+    # would decode as fake hits). Real pairs are clamped per tile first
+    # (an overfull tile loses its trailing Morton-order clusters —
+    # flagged — every other tile stays exact), then globally capped (the
+    # kernel grid size; tiles borrow slack from each other, trailing
+    # tiles lose real pairs when the cap is hit — also flagged).
+    keep = per_tile_clamp - 1  # real (non-sentinel) pairs per tile
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1)
+    overflow = jnp.any(rank[:, -1:] > keep)
+    mask = mask & (rank <= keep)
+    real_cap = pair_cap - n_tiles
+    overflow = overflow | (mask.sum(dtype=jnp.int32) > real_cap)
+    ridx = jnp.nonzero(mask.ravel(), size=real_cap, fill_value=-1)[0]
+    ridx = ridx.astype(jnp.int32)
+    rvalid = ridx >= 0
+    int_max = jnp.int32(2**31 - 1)
+    # merge sentinels with the surviving real pairs in tile-major order:
+    # key = tile·(C+1) + cluster+1 (sentinel cluster −1 ⇒ key = tile·(C+1),
+    # sorting first within its tile); dropped slots sort to the back
+    real_key = jnp.where(
+        rvalid,
+        (ridx // n_clusters) * (n_clusters + 1) + ridx % n_clusters + 1,
+        int_max,
+    )
+    sent_key = jnp.arange(n_tiles, dtype=jnp.int32) * (n_clusters + 1)
+    keys = jax.lax.sort(jnp.concatenate([sent_key, real_key]))
+    valid = keys < int_max
+    # fills → last tile (adjacent to the final real pair: tile T-1's
+    # sentinel always survives, so no spurious re-init)
+    pair_tile = jnp.where(valid, keys // (n_clusters + 1), n_tiles - 1)
     pair_cluster = jnp.where(
-        valid, idx % (n_clusters + 1) - 1, -1
+        valid, keys % (n_clusters + 1) - 1, -1
     )
     # single packed scalar-prefetch array (tile·2¹⁶ + cluster + 1) — the
     # prefetch operand lives in SMEM, so one array halves the footprint
@@ -610,9 +623,11 @@ def make_tile_intersector(ds, accel: PairAccel, *,
         if lean:
             # render pipelines shade via the packed resolver, which reads
             # only ``slot`` — the prim_tri/prim_inst gathers (~4 ns/elt
-            # on this backend, 2×N per trace) would be dead weight
-            tri = slot_c
-            inst = jnp.zeros_like(slot_c)
+            # on this backend, 2×N per trace) would be dead weight. tri/
+            # inst are poisoned to −1 (not plausible-looking wrong ids)
+            # so any consumer that needs them semantically fails loudly.
+            tri = jnp.full_like(slot_c, -1)
+            inst = jnp.full_like(slot_c, -1)
         else:
             tri = jnp.asarray(prim_tri)[slot_c]
             inst = jnp.asarray(prim_inst)[slot_c]
@@ -644,5 +659,12 @@ def make_tile_intersector(ds, accel: PairAccel, *,
         bt, bu, bv, bs, stats = _run(org, dirn, t_max)
         return _hit_from(bt, bu, bv, bs), stats
 
+    def any_hit_with_stats(org, dirn, t_min, t_max):
+        del t_min
+        _, _, _, bs, stats = _run(org, dirn, t_max, any_hit=True,
+                                  sort="none")
+        return bs >= 0.0, stats
+
     closest.with_stats = closest_with_stats
+    any_hit.with_stats = any_hit_with_stats
     return closest, any_hit

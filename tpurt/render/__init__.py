@@ -93,6 +93,7 @@ def render_scene(
     state: Optional[fb.FrameState] = None,
     verbose: bool = False,
     readback_stats: bool = True,
+    max_budget_retries: int = 3,
 ):
     """Render ``config.spp`` samples progressively; returns (FrameState, stats).
 
@@ -106,7 +107,50 @@ def render_scene(
     multi-frame run: the first D2H transfer of a process permanently
     degrades dispatch latency on the tunneled axon backend
     (benchmarks/profile_poison.py).
+
+    Pair-budget safety: when the tile-wavefront intersector reports a
+    pair-budget overflow (stats ``pair_overflow`` — trailing Morton
+    clusters dropped, hits silently lost), the frame is re-rendered from
+    the caller's ``state`` with DOUBLED budgets, up to
+    ``max_budget_retries`` times; ``budget_retries`` records how many
+    doublings were needed. Requires ``readback_stats`` (the flag lives on
+    device otherwise).
     """
+    import dataclasses
+
+    state0 = state
+    retries = 0
+    while True:
+        out_state, stats = _render_scene_once(
+            config, scene, camera, state0, verbose, readback_stats
+        )
+        stats["budget_retries"] = retries
+        if not stats.get("pair_overflow") or retries >= max_budget_retries:
+            return out_state, stats
+        retries += 1
+        new_tile = (
+            config.pairs_per_tile * 2 if config.pairs_per_tile > 0 else 0
+        )
+        new_avg = max(config.pairs_avg * 2, 2) if config.pairs_avg > 0 else 0
+        config = dataclasses.replace(
+            config, pairs_per_tile=new_tile, pairs_avg=new_avg,
+            pairs_per_ray=config.pairs_per_ray * 2,
+        )
+        if verbose:
+            print(
+                f"  pair-budget overflow: retrying with pairs_avg="
+                f"{new_avg}, pairs_per_tile={new_tile}"
+            )
+
+
+def _render_scene_once(
+    config: RenderConfig,
+    scene=None,
+    camera: Optional[Camera] = None,
+    state: Optional[fb.FrameState] = None,
+    verbose: bool = False,
+    readback_stats: bool = True,
+):
     scene_key: object
     if scene is None:
         scene = load_scene(config.scene)
@@ -227,14 +271,21 @@ def render_scene(
         rays = np.asarray(jax.device_get(total_rays), np.float64)
         estimated = False
     else:
-        per_sample = estimate_rays(config) / max(config.spp, 1)
+        # estimate_rays() is already PER SAMPLE-PER-PIXEL; scale by the
+        # samples actually accumulated. Split closest vs shadow
+        # analytically: with NEE each path vertex adds one shadow ray.
         done = int(state.n_samples)
+        closest_ps = config.width * config.height * (1 + config.max_bounces)
+        shadow_ps = (
+            closest_ps
+            if config.use_nee and config.shading_mode == "full"
+            else 0
+        )
         rays = np.asarray(
-            [per_sample * done, 0.0] if config.use_nee
-            else [per_sample * done, 0.0], np.float64
+            [closest_ps * done, shadow_ps * done, 0.0], np.float64
         )
         estimated = True
-    n_rays = float(rays.sum())
+    n_rays = float(rays[0] + rays[1])
     stats = {
         "elapsed_s": elapsed,
         "spp": int(state.n_samples),
@@ -242,6 +293,7 @@ def render_scene(
         "rays_shadow": float(rays[1]),
         "rays_traced": n_rays,
         "rays_estimated": estimated,
+        "pair_overflow": bool(rays[2] > 0.0) if rays.shape[0] > 2 else False,
         "mrays_per_s": n_rays / max(elapsed, 1e-9) / 1e6,
     }
     return state, stats

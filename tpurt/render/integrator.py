@@ -58,9 +58,25 @@ def path_trace_rays(
     radiance = jnp.zeros((n, 3), jnp.float32)
     throughput = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones(n, bool)
-    # ray counters [closest-hit rays, shadow rays] — the profiling stats
-    # buffer (SURVEY.md §5 tracing/profiling; BASELINE.json:2 Mrays metric)
-    rays_traced = jnp.zeros(2, jnp.float32)
+    # ray counters [closest-hit rays, shadow rays, pair-budget overflow
+    # events] — the profiling stats buffer (SURVEY.md §5 tracing/
+    # profiling; BASELINE.json:2 Mrays metric). Slot 2 counts traces whose
+    # tile/pair budget overflowed (hits silently dropped) — render_scene
+    # reads it and auto-retries the frame with a doubled budget.
+    rays_traced = jnp.zeros(3, jnp.float32)
+
+    def _closest(o, d, tmin, tmax, rays):
+        if hasattr(closest, "with_stats"):
+            hit, tstats = closest.with_stats(o, d, tmin, tmax)
+            return hit, rays.at[2].add(tstats[1])
+        return closest(o, d, tmin, tmax), rays
+
+    def _any_hit(o, d, tmin, tmax, rays):
+        if hasattr(any_hit, "with_stats"):
+            occ, tstats = any_hit.with_stats(o, d, tmin, tmax)
+            return occ, rays.at[2].add(tstats[1])
+        return any_hit(o, d, tmin, tmax), rays
+
     if resolver is None:
         def resolver(o, d, t, u, v, tri, inst, slot):
             return materials.resolve_hit(ds, o, d, t, u, v, tri, inst)
@@ -68,7 +84,7 @@ def path_trace_rays(
     if shading_mode == "flat":
         # hello-triangle: unlit albedo (BASELINE.json:7 "flat shading")
         rays_traced = rays_traced.at[0].add(jnp.float32(n))
-        hit = closest(org, dirn, 0.0, jnp.inf)
+        hit, rays_traced = _closest(org, dirn, 0.0, jnp.inf, rays_traced)
         attrs = resolver(
             org, dirn, hit.t, hit.u, hit.v, hit.tri, hit.inst, hit.slot
         )
@@ -87,7 +103,9 @@ def path_trace_rays(
         rays = rays.at[0].add(jnp.sum(alive.astype(jnp.float32)))
         # dead lanes get t_max=-1: their traversal root test fails and they
         # reach DONE in one step instead of walking the tree with garbage
-        hit = closest(org, dirn, 0.0, jnp.where(alive, jnp.inf, -1.0))
+        hit, rays = _closest(
+            org, dirn, 0.0, jnp.where(alive, jnp.inf, -1.0), rays
+        )
         hit_valid = hit.valid & alive
 
         # miss shader (G5): background radiance, ray dies
@@ -121,11 +139,12 @@ def path_trace_rays(
                 & (jnp.max(contrib, axis=-1) > 0.0)
             )
             rays = rays.at[1].add(jnp.sum(want.astype(jnp.float32)))
-            occluded = any_hit(
+            occluded, rays = _any_hit(
                 shadow_org,
                 wi_l,
                 0.0,
                 jnp.where(want, dist_l * (1.0 - SHADOW_EPS), -1.0),
+                rays,
             )
             radiance = radiance + jnp.where(
                 (want & ~occluded)[:, None], contrib, 0.0
@@ -275,7 +294,8 @@ def render_batch(
     config: RenderConfig,
 ) -> jnp.ndarray:
     """One progressive batch over the full frame: returns
-    ((H, W, 3) f32 radiance *sum*, (2,) ray counts [closest, shadow]).
+    ((H, W, 3) f32 radiance *sum*, (3,) ray counts [closest, shadow,
+    pair-budget overflow events]).
     FrameState divides the sum by its sample count at resolve time.
 
     Pixels are traced in 32×32 screen-tile order (a STATIC permutation) so

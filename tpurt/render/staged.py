@@ -52,7 +52,7 @@ class WaveState(NamedTuple):
     throughput: jnp.ndarray  # (N, 3)
     alive: jnp.ndarray  # (N,) bool
     allow_emission: jnp.ndarray  # (N,) bool
-    rays: jnp.ndarray  # (2,) f32 [closest, shadow] counters
+    rays: jnp.ndarray  # (3,) f32 [closest, shadow, overflow] counters
 
 
 def make_staged_renderer(ds, accel, *, meta: SceneMeta,
@@ -99,7 +99,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             throughput=jnp.ones((n, 3), jnp.float32),
             alive=jnp.ones(n, bool),
             allow_emission=jnp.ones(n, bool),
-            rays=jnp.zeros(2, jnp.float32),
+            rays=jnp.zeros(3, jnp.float32),
         )
 
     @jax.jit
@@ -109,10 +109,14 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         rays = state.rays.at[0].add(
             jnp.sum(state.alive.astype(jnp.float32))
         )
-        hit = closest(
-            state.org, state.dirn, 0.0,
-            jnp.where(state.alive, jnp.inf, -1.0),
-        )
+        tmax = jnp.where(state.alive, jnp.inf, -1.0)
+        if hasattr(closest, "with_stats"):
+            hit, tstats = closest.with_stats(
+                state.org, state.dirn, 0.0, tmax
+            )
+            rays = rays.at[2].add(tstats[1])
+        else:
+            hit = closest(state.org, state.dirn, 0.0, tmax)
         return hit, state._replace(rays=rays)
 
     @jax.jit
@@ -190,7 +194,11 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         _, any_hit = make_intersectors(ds, accel, meta=meta, config=config)
         s_org, s_dir, s_tmax, contrib, want = shadow
         rays = state.rays.at[1].add(jnp.sum(want.astype(jnp.float32)))
-        occluded = any_hit(s_org, s_dir, 0.0, s_tmax)
+        if hasattr(any_hit, "with_stats"):
+            occluded, tstats = any_hit.with_stats(s_org, s_dir, 0.0, s_tmax)
+            rays = rays.at[2].add(tstats[1])
+        else:
+            occluded = any_hit(s_org, s_dir, 0.0, s_tmax)
         radiance = state.radiance + jnp.where(
             (want & ~occluded)[:, None], contrib, 0.0
         )

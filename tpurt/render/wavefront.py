@@ -60,7 +60,7 @@ class WaveLoop(NamedTuple):
     state: WaveState
     fb: jnp.ndarray  # (H*W, 3) f32 radiance sum
     next_path: jnp.ndarray  # () uint32 — next work item in the stream
-    rays: jnp.ndarray  # (2,) f32 [closest, shadow] counters
+    rays: jnp.ndarray  # (3,) f32 [closest, shadow, overflow] counters
     waves: jnp.ndarray  # () i32
 
 
@@ -143,7 +143,7 @@ def render_batch_wavefront(
     config: RenderConfig,
 ):
     """Wavefront equivalent of ``integrator.render_batch``: returns
-    ((H, W, 3) f32 radiance sum over spp_per_batch samples, (2,) ray counts).
+    ((H, W, 3) f32 radiance sum over spp_per_batch samples, (3,) ray counts).
     """
     w, h = config.width, config.height
     capacity = min(config.wavefront_capacity, w * h * config.spp_per_batch)
@@ -161,12 +161,13 @@ def render_batch_wavefront(
         rays = rays.at[0].add(n_alive)
 
         # --- trace (G2): dead lanes carry t_max = -1 → immediate DONE
-        hit = closest(
-            state.org,
-            state.dirn,
-            0.0,
-            jnp.where(state.active, jnp.inf, -1.0),
-        )
+        tmax = jnp.where(state.active, jnp.inf, -1.0)
+        if hasattr(closest, "with_stats"):
+            hit, tstats = closest.with_stats(state.org, state.dirn, 0.0,
+                                             tmax)
+            rays = rays.at[2].add(tstats[1])
+        else:
+            hit = closest(state.org, state.dirn, 0.0, tmax)
         hit_valid = hit.valid & state.active
 
         # --- miss shader (G5): commit background, lane dies
@@ -214,12 +215,14 @@ def render_batch_wavefront(
             contrib = state.throughput * brdf_l * cos_s[:, None] * l_over_pdf
             want = hit_valid & l_valid & (jnp.max(contrib, axis=-1) > 0.0)
             rays = rays.at[1].add(jnp.sum(want.astype(jnp.float32)))
-            occluded = any_hit(
-                shadow_org,
-                wi_l,
-                0.0,
-                jnp.where(want, dist_l * (1.0 - SHADOW_EPS), -1.0),
-            )
+            s_tmax = jnp.where(want, dist_l * (1.0 - SHADOW_EPS), -1.0)
+            if hasattr(any_hit, "with_stats"):
+                occluded, tstats = any_hit.with_stats(
+                    shadow_org, wi_l, 0.0, s_tmax
+                )
+                rays = rays.at[2].add(tstats[1])
+            else:
+                occluded = any_hit(shadow_org, wi_l, 0.0, s_tmax)
             fb = fb.at[state.pixel].add(
                 jnp.where((want & ~occluded)[:, None], contrib, 0.0)
             )
@@ -260,7 +263,7 @@ def render_batch_wavefront(
         state=_empty_state(capacity),
         fb=jnp.zeros((w * h, 3), jnp.float32),
         next_path=jnp.uint32(0),
-        rays=jnp.zeros(2, jnp.float32),
+        rays=jnp.zeros(3, jnp.float32),
         waves=jnp.int32(0),
     )
     final = jax.lax.while_loop(cond, wave, init)

@@ -121,6 +121,18 @@ def _parse_glb(data: bytes):
 
 
 def _material_from_gltf(gm: dict) -> Material:
+    # exact tpurt parameters, written by tpurt.scene.export (glTF
+    # application-specific ``extras``) — lossless round trip
+    tp = gm.get("extras", {}).get("tpurt")
+    if tp is not None:
+        return Material(
+            kind=int(tp["kind"]),
+            albedo=tuple(tp["albedo"]),
+            emission=tuple(tp["emission"]),
+            param0=float(tp["param0"]),
+            param1=float(tp["param1"]),
+            name=gm.get("name", ""),
+        )
     pbr = gm.get("pbrMetallicRoughness", {})
     base = pbr.get("baseColorFactor", [1.0, 1.0, 1.0, 1.0])[:3]
     metallic = pbr.get("metallicFactor", 1.0)
@@ -198,16 +210,47 @@ def load_gltf(path: str, scene: Optional[Scene] = None) -> Scene:
         node = nodes[node_idx]
         world = parent @ _node_matrix(node)
         if "mesh" in node:
+            override = int(
+                node.get("extras", {}).get("tpurt_material_override", -1)
+            )
             for mesh_id in prim_mesh_ids.get(node["mesh"], []):
                 scene.add_instance(
                     Instance(mesh_id, world[:3, :].astype(np.float32),
+                             material_override=override,
                              name=node.get("name", f"node{node_idx}"))
+                )
+        if "camera" in node and scene.camera is None:
+            from tpurt.core.camera import Camera
+
+            tc = node.get("extras", {}).get("tpurt_camera")
+            if tc is not None:  # exact (written by tpurt.scene.export)
+                scene.camera = Camera.make(
+                    tc["position"], tc["look_at"], tc["up"],
+                    tc["vfov_deg"],
+                )
+            else:  # standard glTF camera: node looks down its −Z
+                gcam = doc.get("cameras", [])[node["camera"]]
+                persp = gcam.get("perspective", {})
+                pos = world[:3, 3]
+                fwd = -world[:3, 2]
+                up = world[:3, 1]
+                scene.camera = Camera.make(
+                    pos, pos + fwd, up,
+                    float(np.rad2deg(persp.get("yfov", 0.8))),
                 )
         for child in node.get("children", []):
             walk(child, world)
 
     for r in roots:
         walk(r, np.eye(4, dtype=np.float32))
+    if doc.get("scenes"):
+        bg = (
+            doc["scenes"][scene_idx]
+            .get("extras", {})
+            .get("tpurt_background")
+        )
+        if bg is not None:
+            scene.background = tuple(float(c) for c in bg)
     if not scene.instances and scene.meshes:
         for mid in range(len(scene.meshes)):
             scene.add_instance(Instance(mid))

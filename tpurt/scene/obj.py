@@ -73,6 +73,30 @@ def parse_mtl(path: str) -> Dict[str, Material]:
     return mats
 
 
+def _parse_tpurt_headers(path: str, scene: Scene) -> None:
+    """Read optional ``# tpurt_camera`` / ``# tpurt_background`` header
+    comments (written by tpurt.scene.export.save_obj_scene — OBJ itself
+    has no camera/environment concept). Only the file head is scanned."""
+    try:
+        with open(path, "r", errors="replace") as f:
+            for _ in range(16):
+                line = f.readline()
+                if not line:
+                    break
+                tok = line.split()
+                if len(tok) >= 12 and tok[:2] == ["#", "tpurt_camera"]:
+                    from tpurt.core.camera import Camera
+
+                    v = [float(x) for x in tok[2:13]]
+                    scene.camera = Camera.make(
+                        v[0:3], v[3:6], v[6:9], v[9]
+                    )
+                elif len(tok) >= 5 and tok[:2] == ["#", "tpurt_background"]:
+                    scene.background = tuple(float(x) for x in tok[2:5])
+    except OSError:
+        pass
+
+
 def _parse_face_vert(token: str, nv: int, nn: int) -> Tuple[int, int]:
     """'v', 'v/vt', 'v//vn', 'v/vt/vn' → (vertex idx, normal idx or -1)."""
     parts = token.split("/")
@@ -100,6 +124,7 @@ def load_obj(path: str, scene: Optional[Scene] = None,
     if default_material is None:
         default_material = Material(name="obj_default")
     cur_mat = scene.add_material(default_material)
+    _parse_tpurt_headers(path, scene)
 
     from tpurt.utils import native
 

@@ -27,7 +27,8 @@ class RenderConfig:
     shading_mode: str = "full"  # "full" | "flat" (hello-triangle)
     seed: int = 0
     exposure: float = 1.0
-    # "auto" | "brute" | "bvh" | "bvh_packet" | "bvh_pair"
+    # "auto" | "brute" | "bvh" | "bvh_packet" | "bvh_pair" | "bvh_tile"
+    # (auto resolves to bvh_tile on TPU — see resolved_intersector)
     intersector: str = "auto"
     # pair-wavefront budget: static (ray, cluster) pair capacity per trace
     # = pairs_per_ray × rays (tpurt.kernels.pairwave; overflow drops the
