@@ -242,6 +242,203 @@ def build_shade_rows(ds: DeviceScene, meta: SceneMeta, v0, v1, v2,
     return rec.reshape(n_rows, 128)
 
 
+class PairAccelTL(NamedTuple):
+    """Two-level (TLAS/BLAS) variant of PairAccel (SURVEY.md §2.1 C9).
+
+    The reference instancing model (VkAccelerationStructureInstanceKHR:
+    3×4 transform + BLAS address) maps to: ONE shared object-space
+    triangle/shade table per mesh (the BLAS), plus per-INSTANCE-CLUSTER
+    entries that carry a world AABB (for the XLA tile mask), the base
+    row of the shared mesh cluster, and the world→object transform the
+    kernel applies to the ray tile before testing (SURVEY.md §3.3
+    "rays transformed into object space at BLAS entry"). Unique-triangle
+    memory scales with BLAS size, not instance count.
+
+    cluster_lo/hi: (IC, 3) world boxes per instance-cluster.
+    tri_rows: (R, 128) OBJECT-space packed rows (shared across
+        instances; per-row object-space sub-AABBs in lanes 120–125).
+    pair_meta: (IC,) i32 — row_base | instance_id << 20 (row_base
+        < 2^20 rows, instance < 2^11).
+    inv_xform: (IC, 12) f32 — world→object 3×4, row-major.
+    prim_tri: mesh-slot → global triangle id. prim_inst: all −1
+        (instance comes from the hit's inst field, not the slot).
+    shade_rows: object-space per-mesh-slot records (SHADE_LANES layout,
+        normals in OBJECT space; resolver applies the instance normal
+        matrix + material override from inst_table).
+    inst_table: (I, 24) f32 — [nrm_mat(9), det_sign, override_flag,
+        o_kind, o_albedo(3), o_emission(3), o_p0, o_p1, o_mid, pad(2)].
+    """
+
+    cluster_lo: np.ndarray
+    cluster_hi: np.ndarray
+    tri_rows: np.ndarray
+    pair_meta: np.ndarray
+    inv_xform: np.ndarray
+    prim_tri: np.ndarray
+    prim_inst: np.ndarray
+    shade_rows: np.ndarray
+    inst_table: np.ndarray
+
+    @property
+    def n_clusters(self) -> int:
+        return self.cluster_lo.shape[0]
+
+
+INST_SHIFT = 20  # pair_meta bit split: row_base low 20 bits, instance above
+
+
+def build_pair_accel_two_level(ds: DeviceScene, meta: SceneMeta,
+                               scene=None) -> PairAccelTL:
+    """Object-space per-mesh clusters + per-instance cluster instances."""
+    tv0, tv1, tv2, inst_tf = _host_tris(ds, meta, scene)
+    (tn0, tn1, tn2, tmat, inst_nrm, inst_over, mk, ma, me, mp0,
+     mp1) = _host_shading(ds, meta, scene)
+
+    # --- per-mesh (BLAS): morton-sort object tris, uniform clusters
+    mesh_rows = []
+    mesh_cluster_base = []  # first cluster row of each mesh
+    mesh_cluster_boxes = []  # per mesh: (n_c, 2, 3) object-space boxes
+    slot_tri = []  # mesh-slot → global tri id
+    n_rows_total = 0
+    for mesh_id, (start, count) in enumerate(meta.mesh_tri_ranges):
+        if count == 0:
+            mesh_cluster_base.append(n_rows_total)
+            mesh_cluster_boxes.append(np.zeros((0, 2, 3), np.float32))
+            continue
+        v0 = tv0[start:start + count]
+        v1 = tv1[start:start + count]
+        v2 = tv2[start:start + count]
+        centro = (v0 + v1 + v2) / 3.0
+        lo = np.minimum(np.minimum(v0, v1), v2).min(0)
+        hi = np.maximum(np.maximum(v0, v1), v2).max(0)
+        order = np.argsort(_morton(centro, lo, hi), kind="stable")
+        v0, v1, v2 = v0[order], v1[order], v2[order]
+        n_c = -(-count // TRIS_PER_CLUSTER)
+        n_rows = n_c * ROWS_PER_CLUSTER
+        rows, pmin, pmax = pack_tri_rows(v0, v1, v2, n_rows)
+        # global mesh-slot ids: local slot + base
+        base_slot = sum(len(s) for s in slot_tri)
+        rec_slots = rows[:, 9:TPR * LANES_PER_TRI:LANES_PER_TRI]
+        valid = rec_slots >= 0
+        rows[:, 9:TPR * LANES_PER_TRI:LANES_PER_TRI] = np.where(
+            valid, rec_slots + base_slot, -1.0
+        )
+        row_lo = pmin.reshape(n_rows, TPR, 3).min(1)
+        row_hi = pmax.reshape(n_rows, TPR, 3).max(1)
+        rows[:, 120:123] = row_lo.astype(np.float32)
+        rows[:, 123:126] = row_hi.astype(np.float32)
+        mesh_rows.append(rows)
+        mesh_cluster_base.append(n_rows_total)
+        clo = pmin.reshape(n_c, TRIS_PER_CLUSTER, 3).min(1)
+        chi = pmax.reshape(n_c, TRIS_PER_CLUSTER, 3).max(1)
+        mesh_cluster_boxes.append(
+            np.stack([clo, chi], axis=1).astype(np.float32)
+        )
+        n_rows_total += n_rows
+        slot_tri.append((start + order).astype(np.int32))
+    tri_rows = (
+        np.concatenate(mesh_rows) if mesh_rows
+        else np.zeros((0, 128), np.float32)
+    )
+    prim_tri = (
+        np.concatenate(slot_tri) if slot_tri
+        else np.zeros(0, np.int32)
+    )
+    n_slots = prim_tri.shape[0]
+
+    # --- per-instance cluster entries (the TLAS leaves)
+    ic_lo, ic_hi, ic_meta, ic_xf = [], [], [], []
+    for inst_id, mesh_id in enumerate(meta.inst_mesh):
+        boxes = mesh_cluster_boxes[mesh_id]
+        if boxes.shape[0] == 0:
+            continue
+        m = inst_tf[inst_id]  # (3, 4) object→world
+        a = m[:, :3]
+        t = m[:, 3]
+        # world box of each object box: transform the 8 corners
+        corners = np.stack(
+            [boxes[:, (i >> k) & 1, k] for i in range(8)
+             for k in range(3)], 0
+        ).T.reshape(-1, 8, 3)
+        wc = corners @ a.T + t
+        ic_lo.append(wc.min(1))
+        ic_hi.append(wc.max(1))
+        n_c = boxes.shape[0]
+        base_rows = (
+            mesh_cluster_base[mesh_id]
+            + np.arange(n_c, dtype=np.int64) * ROWS_PER_CLUSTER
+        )
+        assert base_rows.max(initial=0) < (1 << INST_SHIFT), \
+            "row_base exceeds pair_meta encoding"
+        assert inst_id < (1 << (31 - INST_SHIFT)), \
+            "instance id exceeds pair_meta encoding"
+        ic_meta.append(
+            (base_rows | (inst_id << INST_SHIFT)).astype(np.int32)
+        )
+        ainv = np.linalg.inv(a)
+        xf = np.concatenate(
+            [ainv, (-ainv @ t)[:, None]], axis=1
+        ).astype(np.float32)  # world→object 3×4
+        ic_xf.append(np.tile(xf.reshape(1, 12), (n_c, 1)))
+    cluster_lo = np.concatenate(ic_lo).astype(np.float32)
+    cluster_hi = np.concatenate(ic_hi).astype(np.float32)
+    pair_meta = np.concatenate(ic_meta)
+    inv_xform = np.concatenate(ic_xf)
+
+    # --- object-space shade records per mesh slot
+    gt = np.clip(prim_tri, 0, max(tmat.shape[0] - 1, 0))
+    n_geom_obj = np.cross(
+        tv1[gt] - tv0[gt], tv2[gt] - tv0[gt]
+    ).astype(np.float32)
+    mid = np.clip(tmat[gt], 0, mk.shape[0] - 1)
+    rec = np.zeros((n_slots, SHADE_LANES), np.float32)
+    rec[:, 0:3] = n_geom_obj
+    rec[:, 3:6] = tn0[gt]
+    rec[:, 6:9] = tn1[gt]
+    rec[:, 9:12] = tn2[gt]
+    rec[:, 12] = mk[mid]
+    rec[:, 13:16] = ma[mid]
+    rec[:, 16:19] = me[mid]
+    rec[:, 19] = mp0[mid]
+    rec[:, 20] = mp1[mid]
+    rec[:, 21] = mid.astype(np.float32)
+    pad_rows = (-n_slots) % 4
+    if pad_rows:
+        rec = np.concatenate(
+            [rec, np.zeros((pad_rows, SHADE_LANES), np.float32)]
+        )
+    shade_rows = rec.reshape(-1, 128)
+
+    # --- per-instance normal matrix + material override table
+    n_inst = len(meta.inst_mesh)
+    it = np.zeros((n_inst, 24), np.float32)
+    for i in range(n_inst):
+        nm = inst_nrm[i]  # inv(A)^T (legacy convention)
+        it[i, 0:9] = nm.reshape(-1)
+        it[i, 9] = np.sign(np.linalg.det(np.linalg.inv(nm)))
+        over = int(inst_over[i])
+        if over >= 0:
+            om = min(over, mk.shape[0] - 1)
+            it[i, 10] = 1.0
+            it[i, 11] = mk[om]
+            it[i, 12:15] = ma[om]
+            it[i, 15:18] = me[om]
+            it[i, 18] = mp0[om]
+            it[i, 19] = mp1[om]
+            it[i, 20] = float(om)
+    return PairAccelTL(
+        cluster_lo=cluster_lo,
+        cluster_hi=cluster_hi,
+        tri_rows=tri_rows,
+        pair_meta=pair_meta,
+        inv_xform=inv_xform,
+        prim_tri=prim_tri,
+        prim_inst=np.full(n_slots, -1, np.int32),
+        shade_rows=shade_rows,
+        inst_table=it,
+    )
+
+
 def build_pair_accel(ds: DeviceScene, meta: SceneMeta,
                      scene=None) -> PairAccel:
     """Flatten instances → Morton sort → uniform clusters + AABBs."""
@@ -254,13 +451,18 @@ def build_pair_accel(ds: DeviceScene, meta: SceneMeta,
     lo = pmin.reshape(n_clusters, TRIS_PER_CLUSTER, 3).min(1)
     hi = pmax.reshape(n_clusters, TRIS_PER_CLUSTER, 3).max(1)
 
-    # stuff each cluster's AABB into its first row's spare lanes
-    # (12 tris × 10 lanes = 120 used, lanes 120–125 free): the kernel's
-    # SMEM copy then carries the box for the exact per-pair pre-test
-    # with zero extra transport
-    first_rows = np.arange(n_clusters) * ROWS_PER_CLUSTER
-    tri_rows[first_rows, 120:123] = lo.astype(np.float32)
-    tri_rows[first_rows, 123:126] = hi.astype(np.float32)
+    # stuff each ROW's 12-tri sub-AABB into its own spare lanes
+    # (12 tris × 10 lanes = 120 used, lanes 120–125 free on every row):
+    # the kernel's SMEM copy then carries one box per triangle row for
+    # the exact per-row skip test (with best-t far limit) at zero extra
+    # transport — Morton-ordered rows are spatially tight, so divergent
+    # (bounce) tiles skip most rows of the clusters they conservatively
+    # matched. Padding rows get an empty box (+BIG/−BIG) that fails
+    # every slab test.
+    row_lo = pmin.reshape(n_rows, TPR, 3).min(1)
+    row_hi = pmax.reshape(n_rows, TPR, 3).max(1)
+    tri_rows[:, 120:123] = row_lo.astype(np.float32)
+    tri_rows[:, 123:126] = row_hi.astype(np.float32)
 
     shade_rows = build_shade_rows(
         ds, meta, v0, v1, v2, tri_id, inst_id, n_slots=t, scene=scene

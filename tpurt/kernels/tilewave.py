@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpurt.bvh.paircluster import ROWS_PER_CLUSTER, PairAccel
+from tpurt.bvh.paircluster import INST_SHIFT, ROWS_PER_CLUSTER, PairAccel
 from tpurt.kernels.packet import BIG, EPS_DENOM, _ray_sort_keys, \
     _use_interpret
 from tpurt.render.intersectors import Hit
@@ -170,34 +170,57 @@ def _row_candidates_smem(sm_ref, slot, r, ox, oy, oz, dx, dy, dz, out):
 
 
 def _tile_kernel(
-    pk_ref,  # scalar prefetch (SMEM): pair → tile·2¹⁶ + cluster + 1
-    tri_ref,  # (R, 128) f32 VMEM — packed tri table
-    ray_ref,  # (7·SUB, 128) — packed ray tile: ox|oy|oz|dx|dy|dz|tm
-    out_ref,  # (4·SUB, 128) — packed best state: bt|bu|bv|bs
-    *scratch,  # (smem (2, ROWS, 128) f32, dma sems (2,)) when smem_tri
+    *refs,  # prefetch ref(s), tri_ref, ray_ref, out_ref, scratch...
     unroll: bool,
     any_hit: bool,
     smem_tri: bool = False,
+    two_level: bool = False,
+    n_out: int = 4,
 ):
+    # Operand layout (two_level adds the pair_meta/xform prefetch refs):
+    #   pk_ref   scalar prefetch (SMEM): pair → tile·2¹⁶ + cluster + 1
+    #   pm_ref   (two_level) (IC,) i32: row_base | instance << INST_SHIFT
+    #   xf_ref   (two_level) (IC·12,) f32: world→object 3×4 per cluster
+    #   tri_ref  (R, 128) f32 VMEM — packed tri table (object space when
+    #            two_level, world space otherwise)
+    #   ray_ref  (10·SUB, 128) — packed ray tile
+    #   out_ref  (n_out·SUB, 128) — best state: bt|bu|bv|bs[|bi]
     # Single packed ray operand and single packed output: per grid step
     # Mosaic evaluates every operand's index map and change-detects its
     # block — 12 separate operands cost ~1 µs/step of pure machinery
     # (profiled); 3 operands cut that ~4×.
+    if two_level:
+        pk_ref, pm_ref, xf_ref, tri_ref, ray_ref, out_ref = refs[:6]
+        scratch = refs[6:]
+    else:
+        pk_ref, tri_ref, ray_ref, out_ref = refs[:4]
+        scratch = refs[4:]
     i = pl.program_id(0)
     v = pk_ref[i]
     c = (v & 0xFFFF) - 1
     prev_t = pk_ref[jnp.maximum(i - 1, 0)] >> 16
     first = (i == 0) | (prev_t != (v >> 16))
 
+    if two_level:
+        meta_v = pm_ref[jnp.maximum(c, 0)]
+        inst_f = (meta_v >> INST_SHIFT).astype(jnp.float32)
+
+        def row_base(cid):
+            return pm_ref[cid] & ((1 << INST_SHIFT) - 1)
+    else:
+        inst_f = None
+
+        def row_base(cid):
+            return cid * ROWS_PER_CLUSTER
+
     if smem_tri:
-        sm_ref, sems = scratch
+        sm_ref, sems = scratch[0], scratch[1]
         slot = jax.lax.rem(i, 2)
         nslot = 1 - slot
 
         def cluster_dma(s, cid):
             return pltpu.make_async_copy(
-                tri_ref.at[pl.ds(cid * ROWS_PER_CLUSTER,
-                                 ROWS_PER_CLUSTER), :],
+                tri_ref.at[pl.ds(row_base(cid), ROWS_PER_CLUSTER), :],
                 sm_ref.at[s],
                 sems.at[s],
             )
@@ -227,8 +250,43 @@ def _tile_kernel(
         tm = ray_ref[6 * SUB:7 * SUB, :]
         out_ref[0:SUB, :] = jnp.where(tm >= 0.0, tm, -1.0)
         out_ref[SUB:3 * SUB, :] = jnp.zeros((2 * SUB, 128), jnp.float32)
-        out_ref[3 * SUB:4 * SUB, :] = jnp.full((SUB, 128), -1.0,
-                                               jnp.float32)
+        out_ref[3 * SUB:n_out * SUB, :] = jnp.full(
+            ((n_out - 3) * SUB, 128), -1.0, jnp.float32
+        )
+
+    def _load_rays():
+        """Ray tile components (+ inverse dirs), transformed into the
+        cluster's object space when two_level (the TLAS→BLAS ray
+        transform of SURVEY.md §3.3 — d is NOT renormalized, so the hit
+        parameter t stays in world units across instances)."""
+        ox = ray_ref[0:SUB, :]
+        oy = ray_ref[SUB:2 * SUB, :]
+        oz = ray_ref[2 * SUB:3 * SUB, :]
+        dx = ray_ref[3 * SUB:4 * SUB, :]
+        dy = ray_ref[4 * SUB:5 * SUB, :]
+        dz = ray_ref[5 * SUB:6 * SUB, :]
+        if not two_level:
+            return (ox, oy, oz, dx, dy, dz,
+                    ray_ref[7 * SUB:8 * SUB, :],
+                    ray_ref[8 * SUB:9 * SUB, :],
+                    ray_ref[9 * SUB:10 * SUB, :])
+        b = jnp.maximum(c, 0) * 12
+        m = [xf_ref[b + k] for k in range(12)]
+        nox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
+        noy = m[4] * ox + m[5] * oy + m[6] * oz + m[7]
+        noz = m[8] * ox + m[9] * oy + m[10] * oz + m[11]
+        ndx = m[0] * dx + m[1] * dy + m[2] * dz
+        ndy = m[4] * dx + m[5] * dy + m[6] * dz
+        ndz = m[8] * dx + m[9] * dy + m[10] * dz
+
+        def inv(dv):
+            return 1.0 / jnp.where(
+                jnp.abs(dv) < 1e-12,
+                jnp.where(dv >= 0.0, 1e-12, -1e-12), dv,
+            )
+
+        return (nox, noy, noz, ndx, ndy, ndz,
+                inv(ndx), inv(ndy), inv(ndz))
 
     do = c >= 0
     if any_hit:
@@ -244,76 +302,95 @@ def _tile_kernel(
         do = do & (first | ~done)
 
     if smem_tri:
-        # exact per-pair pre-test: the cluster's AABB rides in its first
-        # SMEM row's spare lanes; slab-test it against the tile's rays
-        # with the CURRENT best t as the far limit. Skipping is exact
-        # (a triangle inside the box cannot beat a best t the box itself
-        # cannot beat), kills both the conservative-mask false positives
-        # (~40% of pairs) and distance-culled clusters, and costs ~20
-        # vector ops vs ~1.4 µs of row tests.
+        # Per-ROW exact skip test: every 12-tri row carries its own
+        # sub-AABB in its SMEM spare lanes (120–125); slab-test it
+        # against the tile's rays with the CURRENT best t as the far
+        # limit, and skip the whole row when no ray can beat it.
+        # Skipping is exact (a triangle inside the box cannot beat a
+        # best t the box itself cannot beat). This subsumes the old
+        # per-pair cluster pre-test (a pair whose 8 rows all fail does
+        # no triangle work) and — critically for divergent bounce
+        # waves, where the conservative tile mask passes most clusters
+        # — culls at 12-tri granularity for ~25 vector ops per row vs
+        # ~420 of row tests. Best-hit state accumulates in a VMEM
+        # scratch (conditionally-written rows need a ref, not values).
         sm0 = scratch[0]
+        acc = scratch[2]
         slot0 = slot  # computed at kernel top (program_id inside a cond
         # branch has no lowering rule in interpret mode)
 
-        def _pretest():
-            blox = sm0[slot0, 0, 120]
-            bloy = sm0[slot0, 0, 121]
-            bloz = sm0[slot0, 0, 122]
-            bhix = sm0[slot0, 0, 123]
-            bhiy = sm0[slot0, 0, 124]
-            bhiz = sm0[slot0, 0, 125]
-            ox = ray_ref[0:SUB, :]
-            oy = ray_ref[SUB:2 * SUB, :]
-            oz = ray_ref[2 * SUB:3 * SUB, :]
-            ivx = ray_ref[7 * SUB:8 * SUB, :]
-            ivy = ray_ref[8 * SUB:9 * SUB, :]
-            ivz = ray_ref[9 * SUB:10 * SUB, :]
+        @pl.when(do)
+        def _():
+            (ox, oy, oz, dx, dy, dz, ivx, ivy, ivz) = _load_rays()
             bt = out_ref[0:SUB, :]
-            t0x = (blox - ox) * ivx
-            t1x = (bhix - ox) * ivx
-            t0y = (bloy - oy) * ivy
-            t1y = (bhiy - oy) * ivy
-            t0z = (bloz - oz) * ivz
-            t1z = (bhiz - oz) * ivz
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x),
-                            jnp.minimum(t0y, t1y)),
-                jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
-            )
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x),
-                            jnp.maximum(t0y, t1y)),
-                jnp.minimum(jnp.maximum(t0z, t1z), bt),
-            )
-            return jnp.any(tn <= tf)
+            acc[0:SUB, :] = jnp.full((SUB, 128), BIG, jnp.float32)
+            acc[SUB:3 * SUB, :] = jnp.zeros((2 * SUB, 128), jnp.float32)
+            acc[3 * SUB:4 * SUB, :] = jnp.full((SUB, 128), -1.0,
+                                               jnp.float32)
+            for r in range(ROWS_PER_CLUSTER):
+                blox = sm0[slot0, r, 120]
+                bloy = sm0[slot0, r, 121]
+                bloz = sm0[slot0, r, 122]
+                bhix = sm0[slot0, r, 123]
+                bhiy = sm0[slot0, r, 124]
+                bhiz = sm0[slot0, r, 125]
+                t0x = (blox - ox) * ivx
+                t1x = (bhix - ox) * ivx
+                t0y = (bloy - oy) * ivy
+                t1y = (bhiy - oy) * ivy
+                t0z = (bloz - oz) * ivz
+                t1z = (bhiz - oz) * ivz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z),
+                                jnp.minimum(bt, acc[0:SUB, :])),
+                )
+                row_ok = jnp.any(tn <= tf)
 
-        # unconditional: ~20 vector ops; for dead pairs (c < 0, no DMA
-        # waited) the SMEM scalars are stale garbage but the result is
-        # discarded by the AND. A lax.cond here tripped a Mosaic scf.if
-        # verifier bug (i32/i1 yield mismatch).
-        do = do & _pretest()
+                @pl.when(row_ok)
+                def _(r=r):
+                    cand = []
+                    _row_candidates_smem(
+                        sm0, slot0, r, ox, oy, oz, dx, dy, dz, cand
+                    )
+                    tr, ur, vr, sr = _fold_candidates(cand)
+                    at = acc[0:SUB, :]
+                    win = tr < at
+                    acc[0:SUB, :] = jnp.where(win, tr, at)
+                    acc[SUB:2 * SUB, :] = jnp.where(
+                        win, ur, acc[SUB:2 * SUB, :])
+                    acc[2 * SUB:3 * SUB, :] = jnp.where(
+                        win, vr, acc[2 * SUB:3 * SUB, :])
+                    acc[3 * SUB:4 * SUB, :] = jnp.where(
+                        win, sr, acc[3 * SUB:4 * SUB, :])
+            tm_c = acc[0:SUB, :]
+            win = tm_c < bt
+            out_ref[0:SUB, :] = jnp.where(win, tm_c, bt)
+            out_ref[SUB:2 * SUB, :] = jnp.where(
+                win, acc[SUB:2 * SUB, :], out_ref[SUB:2 * SUB, :])
+            out_ref[2 * SUB:3 * SUB, :] = jnp.where(
+                win, acc[2 * SUB:3 * SUB, :],
+                out_ref[2 * SUB:3 * SUB, :])
+            out_ref[3 * SUB:4 * SUB, :] = jnp.where(
+                win, acc[3 * SUB:4 * SUB, :],
+                out_ref[3 * SUB:4 * SUB, :])
+            if two_level:
+                out_ref[4 * SUB:5 * SUB, :] = jnp.where(
+                    win, inst_f, out_ref[4 * SUB:5 * SUB, :])
+
+        return
 
     @pl.when(do)
     def _():
-        ox = ray_ref[0:SUB, :]
-        oy = ray_ref[SUB:2 * SUB, :]
-        oz = ray_ref[2 * SUB:3 * SUB, :]
-        dx = ray_ref[3 * SUB:4 * SUB, :]
-        dy = ray_ref[4 * SUB:5 * SUB, :]
-        dz = ray_ref[5 * SUB:6 * SUB, :]
-        base = c * ROWS_PER_CLUSTER
-        if smem_tri:
-            sm_scr = scratch[0]
-            slot_b = slot
-            rows_out = []
-            for r in range(ROWS_PER_CLUSTER):
-                cand = []
-                _row_candidates_smem(
-                    sm_scr, slot_b, r, ox, oy, oz, dx, dy, dz, cand
-                )
-                rows_out.append(_fold_candidates(cand))
-            tm_c, um, vm, sm = _fold_candidates(rows_out)
-        elif unroll:
+        (ox, oy, oz, dx, dy, dz, _, _, _) = _load_rays()
+        base = row_base(jnp.maximum(c, 0))
+        if unroll:
             # hardware: rows are independent of each other (the previous
             # per-row merge into the best-state carry serialized at
             # ~240 ns/row); each row folds its own 12 candidates, the 16
@@ -352,6 +429,9 @@ def _tile_kernel(
             win, vm, out_ref[2 * SUB:3 * SUB, :])
         out_ref[3 * SUB:4 * SUB, :] = jnp.where(
             win, sm, out_ref[3 * SUB:4 * SUB, :])
+        if two_level:
+            out_ref[4 * SUB:5 * SUB, :] = jnp.where(
+                win, inst_f, out_ref[4 * SUB:5 * SUB, :])
 
 
 def _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles):
@@ -419,11 +499,64 @@ def _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles):
     )
 
 
+def _octant_sort_keys(org, dirn, t_max_vec, scene_lo, scene_hi):
+    """Direction-octant-major, origin-Morton-minor coherence keys.
+
+    For incoherent (bounce/shadow) waves the right tile invariant is a
+    SIGN-PURE direction cone first, spatial locality second: measured on
+    the bunny bounce-1 wave, octant-major tiles match 296 clusters/tile
+    vs 737 for origin-major Morton (origin bits dominate that key's
+    prefix, leaving tiles direction-mixed, which the interval frustum
+    cannot cull). Dead rays sort to the back as in _ray_sort_keys."""
+    from tpurt.kernels.packet import _expand_bits7
+
+    ext = jnp.maximum(scene_hi - scene_lo, 1e-12)
+    q = jnp.clip((org - scene_lo) / ext, 0.0, 1.0)
+    g = jnp.minimum((q * 64.0).astype(jnp.uint32), jnp.uint32(63))
+    morton_o = (
+        (_expand_bits7(g[:, 0]) << 2)
+        | (_expand_bits7(g[:, 1]) << 1)
+        | _expand_bits7(g[:, 2])
+    )  # 18 bits
+    octant = (
+        (dirn[:, 0] >= 0.0).astype(jnp.uint32)
+        | ((dirn[:, 1] >= 0.0).astype(jnp.uint32) << 1)
+        | ((dirn[:, 2] >= 0.0).astype(jnp.uint32) << 2)
+    )
+    key = (octant << 18) | morton_o
+    return jnp.where(t_max_vec < 0.0, jnp.uint32(0xFFFFFFFF), key)
+
+
 def _trace_tiles(org, dirn, t_max_vec, lo, hi, tri_rows, *, n_clusters,
-                 pair_cap, per_tile_clamp, interpret, any_hit=False):
+                 pair_cap, per_tile_clamp, interpret, any_hit=False,
+                 all_pairs=False, pair_meta=None, inv_xform=None):
     n = org.shape[0]
     n_tiles = n // TILE
     assert n % TILE == 0, "caller pads rays to TILE"
+    if all_pairs:
+        # tiny-scene fast path: the pair list is the full static
+        # (tile, cluster) enumeration — no mask, no nonzero, no merge
+        # sort, no overflow possible; every tile's first pair (cluster 0)
+        # initializes its output block. This removes ALL per-trace XLA
+        # machinery for scenes like the Cornell box (1 cluster).
+        import numpy as _np
+
+        assert pair_cap == n_tiles * n_clusters
+        tiles_np = _np.repeat(
+            _np.arange(n_tiles, dtype=_np.int32), n_clusters
+        )
+        clusters_np = _np.tile(
+            _np.arange(n_clusters, dtype=_np.int32), n_tiles
+        )
+        packed = jnp.asarray(tiles_np * 65536 + clusters_np + 1)
+        n_pairs = jnp.asarray(n_tiles * n_clusters, jnp.int32)
+        overflow = jnp.zeros((), bool)
+        return _launch_tiles(
+            packed, org, dirn, t_max_vec, tri_rows, n_tiles=n_tiles,
+            pair_cap=pair_cap, interpret=interpret, any_hit=any_hit,
+            n_pairs=n_pairs, overflow=overflow, pair_meta=pair_meta,
+            inv_xform=inv_xform,
+        )
     mask = _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles)
     n_pairs = mask.sum(dtype=jnp.int32) + n_tiles
     # Every tile owns ONE guaranteed sentinel pair (cluster −1) so its
@@ -465,10 +598,31 @@ def _trace_tiles(org, dirn, t_max_vec, lo, hi, tri_rows, *, n_clusters,
     # single packed scalar-prefetch array (tile·2¹⁶ + cluster + 1) — the
     # prefetch operand lives in SMEM, so one array halves the footprint
     packed = pair_tile * 65536 + (pair_cluster + 1)
+    return _launch_tiles(
+        packed, org, dirn, t_max_vec, tri_rows, n_tiles=n_tiles,
+        pair_cap=pair_cap, interpret=interpret, any_hit=any_hit,
+        n_pairs=n_pairs, overflow=overflow, pair_meta=pair_meta,
+        inv_xform=inv_xform,
+    )
 
+
+def _launch_tiles(packed, org, dirn, t_max_vec, tri_rows, *, n_tiles,
+                  pair_cap, interpret, any_hit, n_pairs, overflow,
+                  pair_meta=None, inv_xform=None):
+    """Pack rays, size the grid, and run the tile kernel over the pair
+    list (shared by the masked-expansion and static-all-pairs paths).
+
+    ``pair_meta``/``inv_xform`` switch on two-level mode: extra scalar-
+    prefetch operands carry the per-instance-cluster row base + world→
+    object transform, and a fifth output field carries the winning
+    instance id."""
+    two_level = pair_meta is not None
+    n_out = 5 if two_level else 4
+    n = org.shape[0]
     # one packed (T·10·SUB, 128) ray operand per tile:
     # ox|oy|oz|dx|dy|dz|tm|ivx|ivy|ivz (inverse dirs feed the kernel's
-    # exact per-pair box pre-test)
+    # exact per-row box skip test; two_level recomputes them in object
+    # space in-kernel)
     inv_d = 1.0 / jnp.where(jnp.abs(dirn) < 1e-12,
                             jnp.where(dirn >= 0.0, 1e-12, -1e-12), dirn)
     ray_pack = jnp.concatenate(
@@ -479,24 +633,23 @@ def _trace_tiles(org, dirn, t_max_vec, lo, hi, tri_rows, *, n_clusters,
         axis=1,
     ).reshape(n_tiles * 10 * SUB, 128)
 
-    in_spec = pl.BlockSpec((10 * SUB, 128),
-                           lambda i, pk: (pk[i] >> 16, 0),
+    n_prefetch = 3 if two_level else 1
+
+    def _tile_of(i, pk, *rest):
+        del rest
+        return (pk[i] >> 16, 0)
+
+    in_spec = pl.BlockSpec((10 * SUB, 128), _tile_of,
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((4 * SUB, 128), lambda i, pk: (pk[i] >> 16, 0),
+    out_spec = pl.BlockSpec((n_out * SUB, 128), _tile_of,
                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((n_tiles * 4 * SUB, 128),
+    out_shape = jax.ShapeDtypeStruct((n_tiles * n_out * SUB, 128),
                                      jnp.float32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(pair_cap,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), in_spec],
-        out_specs=[out_spec],
-    )
     (ray_pack,) = jax.lax.optimization_barrier((ray_pack,))
     # default ON for hardware: SMEM scalar broadcast measured 15.2/9.2
     # Mrays/s vs 12.6/7.2 for vector lane extracts (bunny closest-hit,
     # coherent/shuffled). TPURT_SMEM_TRI=0 reverts; =1 forces it in
-    # interpret mode too (CPU tests of the SMEM/pre-test path).
+    # interpret mode too (CPU tests of the SMEM path).
     smem_tri = _os.environ.get(
         "TPURT_SMEM_TRI", "" if interpret else "1") == "1"
     scratch = []
@@ -504,38 +657,54 @@ def _trace_tiles(org, dirn, t_max_vec, lo, hi, tri_rows, *, n_clusters,
         scratch = [
             pltpu.SMEM((2, ROWS_PER_CLUSTER, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            # per-pair best-hit accumulator (conditionally-written rows
+            # need a ref; merged into the tile's out block once per pair)
+            pltpu.VMEM((4 * SUB, 128), jnp.float32),
         ]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(pair_cap,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), in_spec],
-            out_specs=[out_spec],
-            scratch_shapes=scratch,
-        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_prefetch,
+        grid=(pair_cap,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), in_spec],
+        out_specs=[out_spec],
+        scratch_shapes=scratch,
+    )
+    operands = (packed, tri_rows, ray_pack)
+    if two_level:
+        operands = (packed, pair_meta, inv_xform.reshape(-1),
+                    tri_rows, ray_pack)
     out = pl.pallas_call(
         functools.partial(_tile_kernel, unroll=not interpret,
-                          any_hit=any_hit, smem_tri=smem_tri),
+                          any_hit=any_hit, smem_tri=smem_tri,
+                          two_level=two_level, n_out=n_out),
         grid_spec=grid_spec,
         out_shape=[out_shape],
         interpret=interpret,
-    )(packed, tri_rows, ray_pack)[0]
+    )(*operands)[0]
     (out,) = jax.lax.optimization_barrier((out,))
-    out = out.reshape(n_tiles, 4, SUB, 128)
+    out = out.reshape(n_tiles, n_out, SUB, 128)
     bt = out[:, 0].reshape(n)
     bu = out[:, 1].reshape(n)
     bv = out[:, 2].reshape(n)
     bs = out[:, 3].reshape(n)
+    bi = out[:, 4].reshape(n) if two_level else jnp.zeros_like(bt)
     stats = jnp.stack(
         [n_pairs.astype(jnp.float32), overflow.astype(jnp.float32)]
     )
-    return bt, bu, bv, bs, stats
+    return bt, bu, bv, bs, bi, stats
+
+
+# scenes with at most this many clusters take the static all-pairs path
+# (no sort, no mask, no expansion — zero per-trace XLA machinery)
+ALLPAIRS_MAX_CLUSTERS = 8
 
 
 def make_tile_intersector(ds, accel: PairAccel, *,
                           interpret: bool | None = None,
-                          pairs_per_tile: int = 96,
+                          pairs_per_tile: int = 0,
                           pairs_avg: int = 0,
                           ray_sort: str = "none",
+                          shadow_ray_sort: str = "octant",
+                          shadow_pairs_avg: int = 0,
                           lean: bool = False):
     """Closest/any-hit pair over uniform Morton clusters, tile-granular
     (same interface as make_brute_force / make_packet_intersector).
@@ -545,7 +714,11 @@ def make_tile_intersector(ds, accel: PairAccel, *,
     clamped to the budget (its trailing Morton-order clusters are
     dropped; flagged in ``closest.with_stats`` stats[1]); all other
     tiles stay exact. 0 = all clusters (exact but the grid pays a step
-    per (tile, cluster) slot)."""
+    per (tile, cluster) slot). ``pairs_avg`` sizes the global cap (the
+    kernel grid = n_tiles · pairs_avg); shadow/any-hit traces get their
+    own sort mode and budget (``shadow_ray_sort``/``shadow_pairs_avg``,
+    0 = same as pairs_avg) because occlusion waves have a different
+    coherence structure than camera waves (measured in PARITY.md)."""
     if interpret is None:
         interpret = _use_interpret()
     lo = accel.cluster_lo
@@ -555,8 +728,13 @@ def make_tile_intersector(ds, accel: PairAccel, *,
     prim_inst = accel.prim_inst
     n_clusters = int(accel.cluster_lo.shape[0])
     n_prims = prim_tri.shape[0]
+    # two-level (TLAS/BLAS) accel: per-instance-cluster row bases +
+    # world→object transforms ride as extra scalar-prefetch operands
+    pair_meta = getattr(accel, "pair_meta", None)
+    inv_xform = getattr(accel, "inv_xform", None)
+    two_level = pair_meta is not None
 
-    def _run(org, dirn, t_max, any_hit=False, sort=None):
+    def _run(org, dirn, t_max, any_hit=False, sort=None, avg_over=None):
         sort = ray_sort if sort is None else sort
         n = org.shape[0]
         tmv = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -572,18 +750,42 @@ def make_tile_intersector(ds, accel: PairAccel, *,
             tmv = jnp.concatenate(
                 [tmv, jnp.full(pad, -1.0, jnp.float32)]
             )
+        n_tiles = (n + pad) // TILE
+        # packed-prefetch encoding limits (tile·2^16 + cluster + 1, i32)
+        assert n_clusters < 65535, "pair encoding caps clusters at 65534"
+        assert n_tiles < 32768, "pair encoding caps tiles at 32767"
+        tlkw = dict(
+            pair_meta=(None if pair_meta is None
+                       else jnp.asarray(pair_meta)),
+            inv_xform=(None if inv_xform is None
+                       else jnp.asarray(inv_xform)),
+        )
+        if n_clusters <= ALLPAIRS_MAX_CLUSTERS:
+            bt, bu, bv, bs, bi, stats = _trace_tiles(
+                org, dirn, tmv, jnp.asarray(lo), jnp.asarray(hi),
+                jnp.asarray(tri_rows), n_clusters=n_clusters,
+                pair_cap=n_tiles * n_clusters, per_tile_clamp=0,
+                interpret=interpret, any_hit=any_hit, all_pairs=True,
+                **tlkw,
+            )
+            return bt[:n], bu[:n], bv[:n], bs[:n], bi[:n], stats
         restore_key = None
-        if sort == "morton":
-            # Tile-coherence reorder for incoherent (bounce) waves: sort
-            # rays by origin-Morton × direction-Morton. Both the forward
-            # permutation and the un-permute ride multi-operand lax.sort —
-            # XLA gather on this backend runs at ~19 ns/element while
-            # sort_key_val moves the same data orders of magnitude faster
-            # (benchmarks/probe_sort_grid.py). Dead rays sort to the back
-            # into all-dead tiles that emit only their sentinel pair.
+        if sort in ("morton", "octant"):
+            # Tile-coherence reorder for incoherent (bounce/shadow)
+            # waves. Both the forward permutation and the un-permute ride
+            # multi-operand lax.sort — XLA gather on this backend runs at
+            # ~19 ns/element while sort_key_val moves the same data
+            # orders of magnitude faster (benchmarks/probe_sort_grid.py).
+            # Dead rays sort to the back into all-dead tiles that emit
+            # only their sentinel pair. "morton" = origin-major (coherent
+            # secondary waves); "octant" = direction-sign-major (measured
+            # 2.4–6× tighter tile unions for diffuse-bounce and shadow
+            # waves — see _octant_sort_keys).
             scene_lo = jnp.min(jnp.asarray(lo), axis=0)
             scene_hi = jnp.max(jnp.asarray(hi), axis=0)
-            keys = _ray_sort_keys(org, dirn, tmv, scene_lo, scene_hi)
+            keyfn = (_ray_sort_keys if sort == "morton"
+                     else _octant_sort_keys)
+            keys = keyfn(org, dirn, tmv, scene_lo, scene_hi)
             np_ = org.shape[0]
             (_, ox_s, oy_s, oz_s, dx_s, dy_s, dz_s, tm_s,
              restore_key) = jax.lax.sort(
@@ -595,32 +797,37 @@ def make_tile_intersector(ds, accel: PairAccel, *,
             org = jnp.stack([ox_s, oy_s, oz_s], axis=1)
             dirn = jnp.stack([dx_s, dy_s, dz_s], axis=1)
             tmv = tm_s
-        n_tiles = (n + pad) // TILE
-        # packed-prefetch encoding limits (tile·2^16 + cluster + 1, i32)
-        assert n_clusters < 65535, "pair encoding caps clusters at 65534"
-        assert n_tiles < 32768, "pair encoding caps tiles at 32767"
         clamp = (
             n_clusters + 1 if pairs_per_tile <= 0
             else min(pairs_per_tile, n_clusters + 1)
         )
-        avg = clamp if pairs_avg <= 0 else min(pairs_avg, clamp)
+        eff_avg = pairs_avg if avg_over is None else avg_over
+        avg = clamp if eff_avg <= 0 else min(eff_avg, clamp)
         cap = n_tiles * avg
-        bt, bu, bv, bs, stats = _trace_tiles(
+        bt, bu, bv, bs, bi, stats = _trace_tiles(
             org, dirn, tmv, jnp.asarray(lo), jnp.asarray(hi),
             jnp.asarray(tri_rows), n_clusters=n_clusters, pair_cap=cap,
             per_tile_clamp=clamp, interpret=interpret, any_hit=any_hit,
+            **tlkw,
         )
         if restore_key is not None:
-            _, bt, bu, bv, bs = jax.lax.sort(
-                (restore_key, bt, bu, bv, bs), num_keys=1
+            _, bt, bu, bv, bs, bi = jax.lax.sort(
+                (restore_key, bt, bu, bv, bs, bi), num_keys=1
             )
-        return bt[:n], bu[:n], bv[:n], bs[:n], stats
+        return bt[:n], bu[:n], bv[:n], bs[:n], bi[:n], stats
 
-    def _hit_from(bt, bu, bv, bs):
+    def _hit_from(bt, bu, bv, bs, bi):
         slot = bs.astype(jnp.int32)
         valid = slot >= 0
         slot_c = jnp.clip(slot, 0, n_prims - 1)
-        if lean:
+        if two_level:
+            # the winning instance comes from the kernel's fifth output
+            # field (the slot is a shared mesh slot); the packed TL
+            # resolver needs BOTH, so inst is never poisoned here
+            inst = jnp.where(valid, bi.astype(jnp.int32), -1)
+            tri = (jnp.full_like(slot_c, -1) if lean
+                   else jnp.asarray(prim_tri)[slot_c])
+        elif lean:
             # render pipelines shade via the packed resolver, which reads
             # only ``slot`` — the prim_tri/prim_inst gathers (~4 ns/elt
             # on this backend, 2×N per trace) would be dead weight. tri/
@@ -643,26 +850,26 @@ def make_tile_intersector(ds, accel: PairAccel, *,
 
     def closest(org, dirn, t_min, t_max) -> Hit:
         del t_min
-        bt, bu, bv, bs, _ = _run(org, dirn, t_max)
-        return _hit_from(bt, bu, bv, bs)
+        bt, bu, bv, bs, bi, _ = _run(org, dirn, t_max)
+        return _hit_from(bt, bu, bv, bs, bi)
 
     def any_hit(org, dirn, t_min, t_max):
-        # shadow/occlusion waves are origin-tile + single-light coherent
-        # already; the Morton reorder costs ~12 ms/trace for nothing
         del t_min
-        _, _, _, bs, _ = _run(org, dirn, t_max, any_hit=True,
-                              sort="none")
+        _, _, _, bs, _, _ = _run(org, dirn, t_max, any_hit=True,
+                                 sort=shadow_ray_sort,
+                                 avg_over=shadow_pairs_avg or None)
         return bs >= 0.0
 
     def closest_with_stats(org, dirn, t_min, t_max):
         del t_min
-        bt, bu, bv, bs, stats = _run(org, dirn, t_max)
-        return _hit_from(bt, bu, bv, bs), stats
+        bt, bu, bv, bs, bi, stats = _run(org, dirn, t_max)
+        return _hit_from(bt, bu, bv, bs, bi), stats
 
     def any_hit_with_stats(org, dirn, t_min, t_max):
         del t_min
-        _, _, _, bs, stats = _run(org, dirn, t_max, any_hit=True,
-                                  sort="none")
+        _, _, _, bs, _, stats = _run(org, dirn, t_max, any_hit=True,
+                                     sort=shadow_ray_sort,
+                                     avg_over=shadow_pairs_avg or None)
         return bs >= 0.0, stats
 
     closest.with_stats = closest_with_stats

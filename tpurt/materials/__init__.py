@@ -145,12 +145,80 @@ def resolve_hit_packed(shade_rows, org, dirn, t, u, v, slot) -> HitAttrs:
     )
 
 
+def resolve_hit_packed_tl(shade_rows, inst_table, org, dirn, t, u, v,
+                          slot, inst) -> HitAttrs:
+    """Two-level twin of resolve_hit_packed (PairAccelTL): the shade
+    record is OBJECT space and shared across instances; the hit's
+    instance id selects a normal matrix + optional material override
+    from the small per-instance table (a one-hot matmul for ≤ 256
+    instances — XLA gathers cost ~4 ns/element on this backend, a dense
+    (N, I) contraction is cheaper; gather fallback above that)."""
+    slot_c = jnp.maximum(slot, 0)
+    rows = shade_rows[slot_c // 4]  # (N, 128) — the one gather
+    sub = slot_c % 4
+    rec = rows[:, 0:32]
+    for k in (1, 2, 3):
+        rec = jnp.where((sub == k)[:, None], rows[:, 32 * k:32 * (k + 1)],
+                        rec)
+
+    n_inst = inst_table.shape[0]
+    i_c = jnp.clip(inst, 0, n_inst - 1)
+    if n_inst <= 256:
+        onehot = (
+            i_c[:, None] == jnp.arange(n_inst, dtype=i_c.dtype)[None]
+        ).astype(jnp.float32)
+        feats = onehot @ jnp.asarray(inst_table)  # (N, 24)
+    else:
+        feats = jnp.asarray(inst_table)[i_c]
+    nm = feats[:, 0:9].reshape(-1, 3, 3)
+    det_sign = feats[:, 9:10]
+
+    def xform(n_obj):  # (N, 3) object normal → world (un-normalized)
+        return jnp.einsum("nij,nj->ni", nm, n_obj)
+
+    w = 1.0 - u - v
+    n_geom = normalize(xform(rec[:, 0:3]) * det_sign)
+    ns_obj = (
+        w[:, None] * rec[:, 3:6]
+        + u[:, None] * rec[:, 6:9]
+        + v[:, None] * rec[:, 9:12]
+    )
+    n_shade = normalize(xform(ns_obj))
+    pos = org + t[:, None] * dirn
+    front_face = dot(n_geom, dirn) < 0.0
+    n_geom = jnp.where(front_face[:, None], n_geom, -n_geom)
+    n_shade = jnp.where(
+        dot(n_shade, n_geom)[:, None] >= 0.0, n_shade, -n_shade
+    )
+    over = feats[:, 10:11] > 0.5
+    sel = lambda a, b: jnp.where(over, a, b)
+    return HitAttrs(
+        pos=pos,
+        n_geom=n_geom,
+        n_shade=n_shade,
+        front_face=front_face,
+        mat_id=sel(feats[:, 20:21], rec[:, 21:22])[:, 0].astype(jnp.int32),
+        kind=sel(feats[:, 11:12], rec[:, 12:13])[:, 0].astype(jnp.int32),
+        albedo=sel(feats[:, 12:15], rec[:, 13:16]),
+        emission=sel(feats[:, 15:18], rec[:, 16:19]),
+        param0=sel(feats[:, 18:19], rec[:, 19:20])[:, 0],
+        param1=sel(feats[:, 19:20], rec[:, 20:21])[:, 0],
+    )
+
+
 def make_resolver(ds: DeviceScene, accel):
-    """Pick the hit-attribute resolver for this accel: the packed
-    shade-record path when the accel carries ``shade_rows`` (cluster
-    accels), else the legacy per-field gather path."""
+    """Pick the hit-attribute resolver for this accel: the two-level
+    packed path (PairAccelTL: object-space records + instance table),
+    the packed shade-record path (cluster accels), or the legacy
+    per-field gather path."""
     shade_rows = getattr(accel, "shade_rows", None)
-    if shade_rows is not None:
+    inst_table = getattr(accel, "inst_table", None)
+    if shade_rows is not None and inst_table is not None:
+        def resolve(org, dirn, t, u, v, tri, inst, slot) -> HitAttrs:
+            return resolve_hit_packed_tl(
+                shade_rows, inst_table, org, dirn, t, u, v, slot, inst
+            )
+    elif shade_rows is not None:
         def resolve(org, dirn, t, u, v, tri, inst, slot) -> HitAttrs:
             return resolve_hit_packed(shade_rows, org, dirn, t, u, v,
                                       slot)

@@ -54,8 +54,36 @@ def build_accel(config: RenderConfig, ds, meta, scene=None):
 
         return build_packet_accel(ds, meta, scene=scene)
     if kind in ("bvh_pair", "bvh_tile"):
-        from tpurt.bvh.paircluster import build_pair_accel
+        from tpurt.bvh.paircluster import (
+            INST_SHIFT,
+            ROWS_PER_CLUSTER,
+            TRIS_PER_CLUSTER,
+            build_pair_accel,
+            build_pair_accel_two_level,
+        )
 
+        unique = sum(r[1] for r in meta.mesh_tri_ranges)
+        n_inst = len(meta.inst_mesh)
+        max_rows = -(-unique // TRIS_PER_CLUSTER) * ROWS_PER_CLUSTER + \
+            len(meta.mesh_tri_ranges) * ROWS_PER_CLUSTER
+        fits = (
+            n_inst < (1 << (31 - INST_SHIFT))
+            and max_rows < (1 << INST_SHIFT)
+        )
+        use_tl = kind == "bvh_tile" and (
+            config.instancing == "two_level"
+            or (
+                config.instancing == "auto"
+                and fits
+                and n_inst > 1
+                and total_instanced >= 2 * unique
+            )
+        )
+        if use_tl:
+            # two-level TLAS/BLAS (SURVEY.md C9): shared object-space
+            # mesh cluster tables + per-instance cluster entries —
+            # unique-triangle memory ∝ BLAS size, not instance count
+            return build_pair_accel_two_level(ds, meta, scene=scene)
         return build_pair_accel(ds, meta, scene=scene)
     import functools
 
@@ -128,18 +156,20 @@ def render_scene(
         if not stats.get("pair_overflow") or retries >= max_budget_retries:
             return out_state, stats
         retries += 1
-        new_tile = (
-            config.pairs_per_tile * 2 if config.pairs_per_tile > 0 else 0
-        )
-        new_avg = max(config.pairs_avg * 2, 2) if config.pairs_avg > 0 else 0
+        dbl = lambda v: v * 2 if v > 0 else 0
         config = dataclasses.replace(
-            config, pairs_per_tile=new_tile, pairs_avg=new_avg,
+            config,
+            pairs_per_tile=dbl(config.pairs_per_tile),
+            pairs_avg=dbl(config.pairs_avg),
+            pairs_avg_bounce=dbl(config.pairs_avg_bounce),
+            pairs_avg_shadow=dbl(config.pairs_avg_shadow),
             pairs_per_ray=config.pairs_per_ray * 2,
         )
         if verbose:
             print(
-                f"  pair-budget overflow: retrying with pairs_avg="
-                f"{new_avg}, pairs_per_tile={new_tile}"
+                f"  pair-budget overflow: retrying with doubled budgets "
+                f"(avg={config.pairs_avg}/{config.pairs_avg_bounce}/"
+                f"{config.pairs_avg_shadow})"
             )
 
 
@@ -206,13 +236,17 @@ def _render_scene_once(
         mesh = make_render_mesh(config.n_sample_shards, config.n_tile_shards)
 
     pipeline = config.resolved_pipeline(jax.devices()[0].platform)
-    if pipeline == "staged" and mesh is None:
+    if pipeline == "staged":
+        # the staged pipeline IS the distributed pipeline: with a mesh it
+        # shard_maps every stage over the ray axis (X1 pixel chunks × X2
+        # sample windows) — same per-stage programs, same single-Pallas-
+        # call-per-program property that keeps the TPU backend stable
         renderer = ctx.get("staged_renderer")
         if renderer is None:
             from tpurt.render.staged import make_staged_renderer
 
             renderer = make_staged_renderer(
-                ds, accel, meta=meta, config=jit_config
+                ds, accel, meta=meta, config=jit_config, mesh=mesh
             )
             ctx["staged_renderer"] = renderer
     else:
@@ -223,12 +257,12 @@ def _render_scene_once(
     t0 = time.perf_counter()
     total_rays = None  # (2,) f32 device array — kept on device (no D2H)
     for _ in range(int(state.batch_index), n_batches):
-        if mesh is None:
-            if renderer is not None:
-                radiance_sum, counts = renderer(
-                    cam, state.seed, state.n_samples
-                )
-            elif pipeline == "wavefront":
+        if renderer is not None:
+            radiance_sum, counts = renderer(
+                cam, state.seed, state.n_samples
+            )
+        elif mesh is None:
+            if pipeline == "wavefront":
                 from tpurt.render.wavefront import render_batch_wavefront_jit
 
                 radiance_sum, counts = render_batch_wavefront_jit(

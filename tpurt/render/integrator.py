@@ -186,9 +186,15 @@ def path_trace_rays(
 
 
 def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
-                      config: RenderConfig):
+                      config: RenderConfig, wave: str = "bounce"):
     """Closest/any-hit pair: Pallas packet kernel (PacketAccel), two-level
-    jnp BVH (SceneAccel), or dense brute force (tiny scenes / oracle)."""
+    jnp BVH (SceneAccel), or dense brute force (tiny scenes / oracle).
+
+    ``wave`` selects the tile intersector's closest-trace sort/budget:
+    "primary" (camera waves — static screen-tile order, small budget) or
+    "bounce" (incoherent waves — octant sort, large budget). The staged
+    pipeline compiles one trace stage per kind; the megakernel uses the
+    conservative "bounce" settings for all depths."""
     if accel is None:
         return make_brute_force(ds, meta)
     from tpurt.bvh.cluster import PacketAccel
@@ -208,9 +214,17 @@ def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
 
         # lean: the pipelines shade through the packed resolver (slot
         # only), so the Hit tri/inst gathers are skipped
+        if wave == "primary":
+            sort = config.tile_primary_sort
+            avg = config.pairs_avg
+        else:
+            sort = config.tile_ray_sort
+            avg = config.pairs_avg_bounce
         return make_tile_intersector(
             ds, accel, pairs_per_tile=config.pairs_per_tile,
-            pairs_avg=config.pairs_avg, ray_sort=config.tile_ray_sort,
+            pairs_avg=avg, ray_sort=sort,
+            shadow_ray_sort=config.tile_shadow_sort,
+            shadow_pairs_avg=config.pairs_avg_shadow,
             lean=True,
         )
     if isinstance(accel, PacketAccel) or (

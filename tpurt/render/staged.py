@@ -56,41 +56,127 @@ class WaveState(NamedTuple):
 
 
 def make_staged_renderer(ds, accel, *, meta: SceneMeta,
-                         config: RenderConfig):
+                         config: RenderConfig, mesh=None):
     """Build the per-stage jitted functions for a scene + config.
 
     Returns ``render_batch(cam, seed, sample0) -> ((H, W, 3) sum,
-    (2,) counts)`` whose results match integrator.render_batch bit-for-bit
+    (3,) counts)`` whose results match integrator.render_batch bit-for-bit
     up to float reassociation. The camera/scene/accel are ARGUMENTS of the
     compiled stages (not closure constants) so flythrough frames reuse the
     executables and no device constant is ever read back to host.
+
+    ``mesh``: optional ("sample", "tile") jax.sharding.Mesh (SURVEY.md
+    §2.3 X1/X2). Each stage is then wrapped in shard_map over the flat
+    ray axis — every shard runs the SAME per-stage programs (including
+    the single Pallas traversal call), so the TPU-stable staged pipeline
+    IS the distributed pipeline (VERDICT r1 §5); tile shards own pixel
+    chunks of the screen-tile order, sample shards cover disjoint sample
+    windows, and the only collectives are tiny per-stage counter psums
+    plus one radiance psum at resolve (rides ICI). Results are
+    bit-identical to the single-chip render of the same sample window up
+    to float reassociation.
     """
     w, h = config.width, config.height
     spp = config.spp_per_batch
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        n_tile = mesh.shape["tile"]
+        n_sample = mesh.shape["sample"]
+        rp = P(("sample", "tile"))  # flat ray axis over both mesh axes
+    else:
+        n_tile = 1
+        n_sample = 1
     # host numpy pixel orders (closure constants embedded from host bytes)
     px, py = full_frame_pixels_tiled(w, h)
     px = np.asarray(px)
     py = np.asarray(py)
-    px_r = np.tile(px, spp)
-    py_r = np.tile(py, spp)
+    n_px = px.shape[0]
+    # pad the pixel stream to a tile-shard multiple; pad pixels trace
+    # normally but their linear ids are ≥ w·h so resolve's sort drops them
+    pad = (-n_px) % n_tile
+    px_p = np.concatenate([px, np.zeros(pad, px.dtype)])
+    py_p = np.concatenate([py, np.zeros(pad, py.dtype)])
+    linear_p = np.concatenate(
+        [
+            py.astype(np.int32) * w + px.astype(np.int32),
+            w * h + np.arange(pad, dtype=np.int32),
+        ]
+    )
+    local_px = (n_px + pad) // n_tile
+    px_r = np.tile(px_p, spp)
+    py_r = np.tile(py_p, spp)
     pixel_id = (
         py_r.astype(np.uint32) * np.uint32(w) + px_r.astype(np.uint32)
     )
-    n = pixel_id.shape[0]
-    linear = py.astype(np.int32) * w + px.astype(np.int32)
+    n = local_px * spp  # rays per shard
+    linear = linear_p
+
+    # per-tile-shard pixel chunks (mesh mode indexes them by axis_index)
+    px_c = px_p.reshape(n_tile, local_px)
+    py_c = py_p.reshape(n_tile, local_px)
+    pid_c = pixel_id[: n_px + pad].reshape(n_tile, local_px)
+
+    def _local_ctx():
+        """(px_r, py_r, pixel_id, sample_offset) for the executing shard."""
+        if mesh is None:
+            return px_r, py_r, pixel_id, jnp.uint32(0)
+        t_id = jax.lax.axis_index("tile")
+        s_id = jax.lax.axis_index("sample")
+        pxl = jnp.asarray(px_c)[t_id]
+        pyl = jnp.asarray(py_c)[t_id]
+        pid = jnp.asarray(pid_c)[t_id]
+        return (
+            jnp.tile(pxl, spp),
+            jnp.tile(pyl, spp),
+            jnp.tile(pid, spp),
+            s_id.astype(jnp.uint32) * jnp.uint32(spp),
+        )
 
     def _sampler(seed, sample0):
-        sample_idx = jnp.asarray(sample0, jnp.uint32) + jnp.repeat(
-            jnp.arange(spp, dtype=jnp.uint32), px.shape[0]
+        _, _, pid, s_off = _local_ctx()
+        sample_idx = (
+            jnp.asarray(sample0, jnp.uint32)
+            + s_off
+            + jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), local_px)
         )
-        return PixelSampler.make(seed, sample_idx, pixel_id)
+        return PixelSampler.make(seed, sample_idx, pid)
 
-    @jax.jit
-    def raygen(cam: Camera, seed, sample0) -> WaveState:
+    def _psum_counts(x):
+        """Per-shard counter increments → replicated totals (mesh mode)."""
+        if mesh is None:
+            return x
+        return jax.lax.psum(x, ("sample", "tile"))
+
+    if mesh is not None:
+        state_spec = WaveState(
+            org=rp, dirn=rp, radiance=rp, throughput=rp, alive=rp,
+            allow_emission=rp, rays=P(),
+        )
+        from tpurt.render.intersectors import Hit
+
+        hit_spec = Hit(t=rp, u=rp, v=rp, tri=rp, inst=rp, valid=rp,
+                       slot=rp)
+        shadow_spec = (rp, rp, rp, rp, rp)
+
+        def _smap(body, in_specs, out_specs):
+            return jax.jit(
+                jax.shard_map(
+                    body, mesh=mesh, in_specs=in_specs,
+                    out_specs=out_specs, check_vma=False,
+                )
+            )
+    else:
+
+        def _smap(body, in_specs, out_specs):
+            return jax.jit(body)
+
+    def raygen_body(cam: Camera, seed, sample0) -> WaveState:
+        pxl, pyl, _, _ = _local_ctx()
         sampler = _sampler(seed, sample0)
         uj = sampler.u2(TAG_JITTER)
         org, dirn = camera_rays(
-            cam, px_r, py_r, w, h, jitter=(uj[..., 0], uj[..., 1])
+            cam, pxl, pyl, w, h, jitter=(uj[..., 0], uj[..., 1])
         )
         return WaveState(
             org=org,
@@ -102,11 +188,20 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             rays=jnp.zeros(3, jnp.float32),
         )
 
-    @jax.jit
-    def trace(ds, accel, state: WaveState):
+    if mesh is None:
+        raygen = jax.jit(raygen_body)
+    else:
+        raygen = _smap(
+            raygen_body,
+            in_specs=(Camera(P(), P(), P(), P()), P(), P()),
+            out_specs=state_spec,
+        )
+
+    def _trace_body(ds, accel, state: WaveState, *, wave):
         """Stage with exactly ONE Pallas call (closest hit)."""
-        closest, _ = make_intersectors(ds, accel, meta=meta, config=config)
-        rays = state.rays.at[0].add(
+        closest, _ = make_intersectors(ds, accel, meta=meta,
+                                       config=config, wave=wave)
+        inc = jnp.zeros(3, jnp.float32).at[0].set(
             jnp.sum(state.alive.astype(jnp.float32))
         )
         tmax = jnp.where(state.alive, jnp.inf, -1.0)
@@ -114,13 +209,31 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             hit, tstats = closest.with_stats(
                 state.org, state.dirn, 0.0, tmax
             )
-            rays = rays.at[2].add(tstats[1])
+            inc = inc.at[2].add(tstats[1])
         else:
             hit = closest(state.org, state.dirn, 0.0, tmax)
+        rays = state.rays + _psum_counts(inc)
         return hit, state._replace(rays=rays)
 
-    @jax.jit
-    def shade(ds, accel, state: WaveState, hit, seed, sample0, bounce):
+    def _make_trace(wave):
+        body = functools.partial(_trace_body, wave=wave)
+        if mesh is None:
+            return jax.jit(body)
+        return _smap(
+            body,
+            in_specs=(P(), P(), state_spec),
+            out_specs=(hit_spec, state_spec),
+        )
+
+    # one trace executable per wave kind: camera waves keep the static
+    # screen-tile order + small pair budget, bounce waves get the octant
+    # sort + large budget (two Mosaic kernel variants; bounces ≥ 1 share
+    # one executable — the bounce index rides in as a device scalar)
+    trace0 = _make_trace("primary")
+    traceN = _make_trace("bounce")
+
+    def shade_body(ds, accel, state: WaveState, hit, seed, sample0,
+                   bounce):
         """Pure-XLA stage: miss/emission events, NEE shadow-ray setup,
         bounce sampling. ``bounce`` is a device scalar — one executable
         serves every bounce depth."""
@@ -188,36 +301,79 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         )
         return new, shadow
 
-    @jax.jit
-    def occlude(ds, accel, state: WaveState, shadow):
+    if mesh is None:
+        shade = jax.jit(shade_body)
+    else:
+        shade = _smap(
+            shade_body,
+            in_specs=(P(), P(), state_spec, hit_spec, P(), P(), P()),
+            out_specs=(state_spec,
+                       shadow_spec if config.use_nee else None),
+        )
+
+    def occlude_body(ds, accel, state: WaveState, shadow):
         """Stage with exactly ONE Pallas call (shadow/any-hit)."""
         _, any_hit = make_intersectors(ds, accel, meta=meta, config=config)
         s_org, s_dir, s_tmax, contrib, want = shadow
-        rays = state.rays.at[1].add(jnp.sum(want.astype(jnp.float32)))
+        inc = jnp.zeros(3, jnp.float32).at[1].set(
+            jnp.sum(want.astype(jnp.float32))
+        )
         if hasattr(any_hit, "with_stats"):
             occluded, tstats = any_hit.with_stats(s_org, s_dir, 0.0, s_tmax)
-            rays = rays.at[2].add(tstats[1])
+            inc = inc.at[2].add(tstats[1])
         else:
             occluded = any_hit(s_org, s_dir, 0.0, s_tmax)
+        rays = state.rays + _psum_counts(inc)
         radiance = state.radiance + jnp.where(
             (want & ~occluded)[:, None], contrib, 0.0
         )
         return state._replace(radiance=radiance, rays=rays)
 
-    @jax.jit
-    def resolve(state: WaveState):
-        """Per-pixel sums in row-major image layout + ray counters.
+    if mesh is None:
+        occlude = jax.jit(occlude_body)
+    else:
+        occlude = _smap(
+            occlude_body,
+            in_specs=(P(), P(), state_spec, shadow_spec),
+            out_specs=state_spec,
+        )
+
+    def resolve_body(state: WaveState):
+        """Per-shard per-pixel sums (+ the X2 sample-axis psum merge)."""
+        total = state.radiance.reshape(spp, local_px, 3).sum(axis=0)
+        if mesh is not None:
+            total = jax.lax.psum(total, "sample")  # X2 merge over ICI
+        return total, state.rays
+
+    def _to_raster(total, rays):
+        """(padded_px, 3) tile-order sums → (H, W, 3) raster image.
 
         The tile→raster permutation rides a 4-operand lax.sort: XLA
         scatter cost ~19 ms per batch here, sort ~2 ms (the axon
-        gather/scatter-vs-sort law, PARITY.md)."""
-        total = state.radiance.reshape(spp, px.shape[0], 3).sum(axis=0)
+        gather/scatter-vs-sort law, PARITY.md). Padding pixels carry
+        linear ids ≥ w·h, sort to the back, and are sliced off."""
         _, r, g, b = jax.lax.sort(
             (jnp.asarray(linear), total[:, 0], total[:, 1],
              total[:, 2]),
             num_keys=1,
         )
-        return jnp.stack([r, g, b], axis=1).reshape(h, w, 3), state.rays
+        img = jnp.stack([r, g, b], axis=1)[: w * h]
+        return img.reshape(h, w, 3), rays
+
+    if mesh is None:
+        resolve = jax.jit(
+            lambda state: _to_raster(*resolve_body(state))
+        )
+    else:
+        _resolve_sharded = _smap(
+            resolve_body,
+            in_specs=(state_spec,),
+            out_specs=(P("tile", None), P()),
+        )
+
+        @jax.jit
+        def resolve(state):
+            return _to_raster(*_resolve_sharded(state))
 
     import os
     import time
@@ -235,10 +391,12 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         state = raygen(cam, seed, sample0)
         _dbg("raygen", state.org)
         if config.shading_mode == "flat":
-            hit, state = trace(ds, accel, state)
+            hit, state = trace0(ds, accel, state)
             return _flat_resolve(ds, accel, state, hit)
         for bounce in range(config.max_bounces + 1):
-            hit, state = trace(ds, accel, state)
+            hit, state = (trace0 if bounce == 0 else traceN)(
+                ds, accel, state
+            )
             _dbg(f"trace[{bounce}]", hit.t)
             b = jnp.uint32(bounce)
             state, shadow = shade(ds, accel, state, hit, seed, sample0, b)

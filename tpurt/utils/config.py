@@ -30,20 +30,36 @@ class RenderConfig:
     # "auto" | "brute" | "bvh" | "bvh_packet" | "bvh_pair" | "bvh_tile"
     # (auto resolves to bvh_tile on TPU — see resolved_intersector)
     intersector: str = "auto"
+    # tile-accel instancing: "auto" picks two-level TLAS/BLAS cluster
+    # tables (shared object-space BLAS rows + per-instance transforms,
+    # SURVEY.md C9) when instances reuse meshes ≥ 2×; "flatten" bakes
+    # every instance to world space; "two_level" forces the TLAS path
+    instancing: str = "auto"
     # pair-wavefront budget: static (ray, cluster) pair capacity per trace
     # = pairs_per_ray × rays (tpurt.kernels.pairwave; overflow drops the
     # trailing clusters of a ray chunk and is flagged in trace stats)
     pairs_per_ray: int = 8
     # tile-wavefront budgets (tpurt.kernels.tilewave): per-tile cluster
     # clamp (0 = all clusters, exact) and average pairs/tile sizing the
-    # kernel grid (0 = same as clamp; smaller = less grid slack, tiles
-    # borrow from each other)
+    # kernel grid per WAVE KIND (0 = all clusters). Measured demand on
+    # the bunny ladder config (800×600): primary 18 avg pairs/tile with
+    # the static screen-tile order, diffuse-bounce 296 with the octant
+    # sort, shadow ≤ 135 with the octant sort — the defaults carry
+    # headroom, and render_scene auto-retries with doubled budgets when
+    # the on-device overflow flag trips (no silent hit loss).
     pairs_per_tile: int = 0
-    pairs_avg: int = 64
-    # tile-wavefront ray reorder: "none" | "morton" (origin×direction
-    # Morton sort via lax.sort — tightens tile unions for bounce waves;
-    # proven a pure reorder by tests/unit/test_tilewave.py)
-    tile_ray_sort: str = "morton"
+    pairs_avg: int = 48  # primary closest waves
+    pairs_avg_bounce: int = 384  # bounce closest waves
+    pairs_avg_shadow: int = 192  # shadow/any-hit waves
+    # tile-wavefront ray reorder per wave kind: "none" | "morton"
+    # (origin-major Morton) | "octant" (direction-sign-major — measured
+    # 2.4–6× tighter tile unions for diffuse bounce + shadow waves).
+    # Primaries keep the static screen-tile order (a sort only widens
+    # their tile unions: 18 → 28 avg pairs). All proven pure reorders by
+    # tests/unit/test_tilewave.py.
+    tile_primary_sort: str = "none"
+    tile_ray_sort: str = "octant"
+    tile_shadow_sort: str = "octant"
     # BVH tuning
     bvh_leaf_size: int = 4
     # runtime ray reordering before packetization: "none" (megakernel
