@@ -169,6 +169,33 @@ def _row_candidates_smem(sm_ref, slot, r, ox, oy, oz, dx, dy, dz, out):
         out.append((jnp.where(ok, t, BIG), u, v, sl))
 
 
+def _row_box_interval(sm0, slot0, r, ox, oy, oz, ivx, ivy, ivz, far):
+    """Slab interval of row r's sub-AABB (SMEM spare lanes 120–125)
+    against the tile's rays, far-limited by ``far`` (the current best t).
+    """
+    blox = sm0[slot0, r, 120]
+    bloy = sm0[slot0, r, 121]
+    bloz = sm0[slot0, r, 122]
+    bhix = sm0[slot0, r, 123]
+    bhiy = sm0[slot0, r, 124]
+    bhiz = sm0[slot0, r, 125]
+    t0x = (blox - ox) * ivx
+    t1x = (bhix - ox) * ivx
+    t0y = (bloy - oy) * ivy
+    t1y = (bhiy - oy) * ivy
+    t0z = (bloz - oz) * ivz
+    t1z = (bhiz - oz) * ivz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+        jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+        jnp.minimum(jnp.maximum(t0z, t1z), far),
+    )
+    return tn, tf
+
+
 def _tile_kernel(
     *refs,  # prefetch ref(s), tri_ref, ray_ref, out_ref, scratch...
     unroll: bool,
@@ -176,6 +203,7 @@ def _tile_kernel(
     smem_tri: bool = False,
     two_level: bool = False,
     n_out: int = 4,
+    row_skip: bool = True,
 ):
     # Operand layout (two_level adds the pair_meta/xform prefetch refs):
     #   pk_ref   scalar prefetch (SMEM): pair → tile·2¹⁶ + cluster + 1
@@ -301,6 +329,52 @@ def _tile_kernel(
         )
         do = do & (first | ~done)
 
+    if smem_tri and not row_skip:
+        # fallback structure (TPURT_ROW_SKIP=0): round-1's independent
+        # unrolled rows + one fold per pair, with a per-pair cluster-box
+        # pre-test assembled from the row boxes — compile-time insurance
+        # should the conditional-per-row kernel regress the Mosaic
+        # remote-compile service
+        sm0 = scratch[0]
+        slot0 = slot
+
+        @pl.when(do)
+        def _():
+            (ox, oy, oz, dx, dy, dz, ivx, ivy, ivz) = _load_rays()
+            bt = out_ref[0:SUB, :]
+            hit_any = None
+            for r in range(ROWS_PER_CLUSTER):
+                tn, tf = _row_box_interval(
+                    sm0, slot0, r, ox, oy, oz, ivx, ivy, ivz, bt
+                )
+                h = tn <= tf
+                hit_any = h if hit_any is None else (hit_any | h)
+            ok = jnp.any(hit_any)
+
+            @pl.when(ok)
+            def _():
+                rows_out = []
+                for r in range(ROWS_PER_CLUSTER):
+                    cand = []
+                    _row_candidates_smem(
+                        sm0, slot0, r, ox, oy, oz, dx, dy, dz, cand
+                    )
+                    rows_out.append(_fold_candidates(cand))
+                tm_c, um, vm, sm = _fold_candidates(rows_out)
+                win = tm_c < bt
+                out_ref[0:SUB, :] = jnp.where(win, tm_c, bt)
+                out_ref[SUB:2 * SUB, :] = jnp.where(
+                    win, um, out_ref[SUB:2 * SUB, :])
+                out_ref[2 * SUB:3 * SUB, :] = jnp.where(
+                    win, vm, out_ref[2 * SUB:3 * SUB, :])
+                out_ref[3 * SUB:4 * SUB, :] = jnp.where(
+                    win, sm, out_ref[3 * SUB:4 * SUB, :])
+                if two_level:
+                    out_ref[4 * SUB:5 * SUB, :] = jnp.where(
+                        win, inst_f, out_ref[4 * SUB:5 * SUB, :])
+
+        return
+
     if smem_tri:
         # Per-ROW exact skip test: every 12-tri row carries its own
         # sub-AABB in its SMEM spare lanes (120–125); slab-test it
@@ -328,28 +402,9 @@ def _tile_kernel(
             acc[3 * SUB:4 * SUB, :] = jnp.full((SUB, 128), -1.0,
                                                jnp.float32)
             for r in range(ROWS_PER_CLUSTER):
-                blox = sm0[slot0, r, 120]
-                bloy = sm0[slot0, r, 121]
-                bloz = sm0[slot0, r, 122]
-                bhix = sm0[slot0, r, 123]
-                bhiy = sm0[slot0, r, 124]
-                bhiz = sm0[slot0, r, 125]
-                t0x = (blox - ox) * ivx
-                t1x = (bhix - ox) * ivx
-                t0y = (bloy - oy) * ivy
-                t1y = (bhiy - oy) * ivy
-                t0z = (bloz - oz) * ivz
-                t1z = (bhiz - oz) * ivz
-                tn = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t0x, t1x),
-                                jnp.minimum(t0y, t1y)),
-                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
-                )
-                tf = jnp.minimum(
-                    jnp.minimum(jnp.maximum(t0x, t1x),
-                                jnp.maximum(t0y, t1y)),
-                    jnp.minimum(jnp.maximum(t0z, t1z),
-                                jnp.minimum(bt, acc[0:SUB, :])),
+                tn, tf = _row_box_interval(
+                    sm0, slot0, r, ox, oy, oz, ivx, ivy, ivz,
+                    jnp.minimum(bt, acc[0:SUB, :]),
                 )
                 row_ok = jnp.any(tn <= tf)
 
@@ -652,6 +707,10 @@ def _launch_tiles(packed, org, dirn, t_max_vec, tri_rows, *, n_tiles,
     # interpret mode too (CPU tests of the SMEM path).
     smem_tri = _os.environ.get(
         "TPURT_SMEM_TRI", "" if interpret else "1") == "1"
+    # TPURT_ROW_SKIP=0 reverts the SMEM kernel to round-1's independent-
+    # row structure (one fold per pair, pair-level box pre-test) —
+    # compile-time insurance for the Mosaic remote-compile service
+    row_skip = _os.environ.get("TPURT_ROW_SKIP", "1") == "1"
     scratch = []
     if smem_tri:
         scratch = [
@@ -675,7 +734,8 @@ def _launch_tiles(packed, org, dirn, t_max_vec, tri_rows, *, n_tiles,
     out = pl.pallas_call(
         functools.partial(_tile_kernel, unroll=not interpret,
                           any_hit=any_hit, smem_tri=smem_tri,
-                          two_level=two_level, n_out=n_out),
+                          two_level=two_level, n_out=n_out,
+                          row_skip=row_skip),
         grid_spec=grid_spec,
         out_shape=[out_shape],
         interpret=interpret,
