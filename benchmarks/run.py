@@ -54,7 +54,10 @@ def main():
         import dataclasses
 
         warm = dataclasses.replace(config, spp=config.spp_per_batch)
-        render_scene(warm)
+        t_w = time.perf_counter()
+        # no stats readback in the warmup (axon first-D2H poison)
+        render_scene(warm, readback_stats=False)
+        warm_s = time.perf_counter() - t_w
         t0 = time.perf_counter()
         state, stats = render_scene(config)
         wall = time.perf_counter() - t0
@@ -65,6 +68,9 @@ def main():
             "mrays_per_s": round(stats["mrays_per_s"], 3),
             "frame_s": round(stats["elapsed_s"], 3),
             "wall_s": round(wall, 2),
+            "warmup_s": round(warm_s, 1),
+            "pair_overflow": stats.get("pair_overflow", False),
+            "budget_retries": stats.get("budget_retries", 0),
             "rays": int(stats["rays_traced"]),
             "device": device,
             "ts": time.strftime("%Y-%m-%d %H:%M"),
@@ -79,12 +85,14 @@ def main():
     with open(md, "w") as f:
         f.write("# Measured benchmark ladder (latest run)\n\n")
         f.write(f"Device: {device}\n\n")
-        f.write("| config | resolution | spp | Mrays/s | frame s |\n")
-        f.write("|---|---|---|---|---|\n")
+        f.write("| config | resolution | spp | Mrays/s | frame s | "
+                "warmup s | overflow |\n")
+        f.write("|---|---|---|---|---|---|---|\n")
         for r in rows:
             f.write(
                 f"| {r['config']} | {r['resolution']} | {r['spp']} | "
-                f"{r['mrays_per_s']} | {r['frame_s']} |\n"
+                f"{r['mrays_per_s']} | {r['frame_s']} | {r['warmup_s']} | "
+                f"{'RETRY x' + str(r['budget_retries']) if r['budget_retries'] else 'ok'} |\n"
             )
     print(f"table → {md}")
 
