@@ -152,6 +152,40 @@ def test_staged_tile_distributed_via_render_scene():
     )
 
 
+def test_staged_twolevel_distributed_equals_single():
+    """Distributed staged pipeline × two-level instanced accel (the full
+    production stack: shard_map + tilewave + TLAS/BLAS) equals the
+    single-chip render."""
+    from tpurt.bvh.paircluster import build_pair_accel_two_level
+    from tpurt.render.staged import make_staged_renderer
+    from tpurt.scene.procedural import sponza_standin
+
+    scene = sponza_standin(column_segments=8, column_rings=3)
+    cfg = get_config(
+        "sponza", width=48, height=24, spp=1, spp_per_batch=1,
+        max_bounces=1, intersector="bvh_tile", pipeline="staged",
+        # exact budgets: truncation under a global cap depends on the
+        # per-shard tile count, so a capped run is not shard-invariant
+        # (render_scene's auto-retry handles that in production)
+        pairs_avg=0, pairs_avg_bounce=0, pairs_avg_shadow=0,
+    )
+    meta = scene_meta(scene)
+    ds = to_device(scene)
+    accel = build_pair_accel_two_level(ds, meta, scene=scene)
+    mesh = make_render_mesh(2, 2)
+    dist = make_staged_renderer(ds, accel, meta=meta, config=cfg,
+                                mesh=mesh)
+    img_d, _ = dist(scene.camera, jnp.uint32(SEED), jnp.uint32(0))
+    single = make_staged_renderer(ds, accel, meta=meta, config=cfg)
+    ref = jnp.zeros((cfg.height, cfg.width, 3))
+    for sid in range(2):
+        img, _ = single(scene.camera, jnp.uint32(SEED), jnp.uint32(sid))
+        ref = ref + img
+    np.testing.assert_allclose(
+        np.asarray(img_d), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_distributed_with_bvh(cornell_setup):
     """Sharded rendering composes with the two-level BVH intersector."""
     from tpurt.bvh.two_level import build_scene_accel
