@@ -208,6 +208,37 @@ def test_smem_path_matches_oracle(rng, monkeypatch, scene_kind):
     )
 
 
+def test_launch_chunking_matches_single(rng, monkeypatch):
+    """Waves whose pair budget exceeds the SMEM prefetch cap split into
+    sequential equal-shape launches — results must be identical."""
+    import tpurt.kernels.tilewave as tw
+
+    scene = bunny_standin(subdivisions=3)
+    meta = scene_meta(scene)
+    ds = to_device(scene)
+    accel = build_pair_accel(ds, meta, scene=scene)
+    center = np.asarray(
+        (np.asarray(ds.tri_v0).min(0) + np.asarray(ds.tri_v0).max(0)) / 2
+    )
+    org, dirn = _rand_rays(rng, 4096, center, 3.0)  # 4 tiles
+    c_one, a_one = make_tile_intersector(ds, accel, interpret=True)
+    h1 = c_one(org, dirn, 0.0, jnp.inf)
+    # force 1-tile chunks (4 launches)
+    monkeypatch.setattr(tw, "MAX_PAIRS_PER_LAUNCH", 1)
+    c_chunk, a_chunk = make_tile_intersector(ds, accel, interpret=True)
+    h4 = c_chunk(org, dirn, 0.0, jnp.inf)
+    np.testing.assert_array_equal(np.asarray(h1.valid), np.asarray(h4.valid))
+    np.testing.assert_allclose(np.asarray(h1.t)[np.asarray(h1.valid)],
+                               np.asarray(h4.t)[np.asarray(h4.valid)],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(h1.slot), np.asarray(h4.slot))
+    t_max = jnp.asarray(rng.uniform(0.5, 4.0, 4096), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(a_one(org, dirn, 0.0, t_max)),
+        np.asarray(a_chunk(org, dirn, 0.0, t_max)),
+    )
+
+
 @pytest.mark.parametrize("sort", ["morton", "octant"])
 def test_ray_sort_matches_unsorted(rng, sort):
     """ray sorts must be pure reorders: identical results. Uses the

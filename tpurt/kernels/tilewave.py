@@ -757,6 +757,16 @@ def _launch_tiles(packed, org, dirn, t_max_vec, tri_rows, *, n_tiles,
 # (no sort, no mask, no expansion — zero per-trace XLA machinery)
 ALLPAIRS_MAX_CLUSTERS = 8
 
+# Hard cap on one kernel launch's pair list: the packed scalar-prefetch
+# operand lives in SMEM (1 MiB total on v5e — a 360k-pair bounce trace
+# failed AOT with "would exceed memory (space=smem)"). Waves whose
+# budget exceeds this are split into sequential tile-range launches of
+# the SAME kernel — back-to-back kernel-only chains are safe on this
+# backend (unlike Pallas calls with shading fusions between them,
+# render/staged.py). 96k pairs = 384 KiB, leaving room for the
+# two-level prefetch tables, kernel scratch, and compiler SMEM use.
+MAX_PAIRS_PER_LAUNCH = 96 * 1024
+
 
 def make_tile_intersector(ds, accel: PairAccel, *,
                           interpret: bool | None = None,
@@ -811,9 +821,9 @@ def make_tile_intersector(ds, accel: PairAccel, *,
                 [tmv, jnp.full(pad, -1.0, jnp.float32)]
             )
         n_tiles = (n + pad) // TILE
-        # packed-prefetch encoding limits (tile·2^16 + cluster + 1, i32)
+        # packed-prefetch encoding limits (tile·2^16 + cluster + 1, i32);
+        # the tile index is per LAUNCH (chunking below keeps it small)
         assert n_clusters < 65535, "pair encoding caps clusters at 65534"
-        assert n_tiles < 32768, "pair encoding caps tiles at 32767"
         tlkw = dict(
             pair_meta=(None if pair_meta is None
                        else jnp.asarray(pair_meta)),
@@ -821,6 +831,7 @@ def make_tile_intersector(ds, accel: PairAccel, *,
                        else jnp.asarray(inv_xform)),
         )
         if n_clusters <= ALLPAIRS_MAX_CLUSTERS:
+            assert n_tiles < 32768, "pair encoding caps tiles at 32767"
             bt, bu, bv, bs, bi, stats = _trace_tiles(
                 org, dirn, tmv, jnp.asarray(lo), jnp.asarray(hi),
                 jnp.asarray(tri_rows), n_clusters=n_clusters,
@@ -829,6 +840,27 @@ def make_tile_intersector(ds, accel: PairAccel, *,
                 **tlkw,
             )
             return bt[:n], bu[:n], bv[:n], bs[:n], bi[:n], stats
+        clamp = (
+            n_clusters + 1 if pairs_per_tile <= 0
+            else min(pairs_per_tile, n_clusters + 1)
+        )
+        eff_avg = pairs_avg if avg_over is None else avg_over
+        avg = clamp if eff_avg <= 0 else min(eff_avg, clamp)
+        # SMEM-bounded launch chunking: split the wave into equal tile
+        # ranges so each launch's pair list fits MAX_PAIRS_PER_LAUNCH;
+        # ray padding (dead rays) makes every chunk the same shape, so
+        # ONE Mosaic kernel variant serves all chunks.
+        chunk_tiles = min(
+            n_tiles, max(1, MAX_PAIRS_PER_LAUNCH // avg), 32767
+        )
+        n_chunks = -(-n_tiles // chunk_tiles)
+        extra_tiles = n_chunks * chunk_tiles - n_tiles
+        if extra_tiles:
+            e = extra_tiles * TILE
+            org = jnp.concatenate([org, jnp.zeros((e, 3), jnp.float32)])
+            dirn = jnp.concatenate([dirn, jnp.ones((e, 3), jnp.float32)])
+            tmv = jnp.concatenate([tmv, jnp.full(e, -1.0, jnp.float32)])
+            n_tiles = n_chunks * chunk_tiles
         restore_key = None
         if sort in ("morton", "octant"):
             # Tile-coherence reorder for incoherent (bounce/shadow)
@@ -857,19 +889,30 @@ def make_tile_intersector(ds, accel: PairAccel, *,
             org = jnp.stack([ox_s, oy_s, oz_s], axis=1)
             dirn = jnp.stack([dx_s, dy_s, dz_s], axis=1)
             tmv = tm_s
-        clamp = (
-            n_clusters + 1 if pairs_per_tile <= 0
-            else min(pairs_per_tile, n_clusters + 1)
-        )
-        eff_avg = pairs_avg if avg_over is None else avg_over
-        avg = clamp if eff_avg <= 0 else min(eff_avg, clamp)
-        cap = n_tiles * avg
-        bt, bu, bv, bs, bi, stats = _trace_tiles(
-            org, dirn, tmv, jnp.asarray(lo), jnp.asarray(hi),
-            jnp.asarray(tri_rows), n_clusters=n_clusters, pair_cap=cap,
-            per_tile_clamp=clamp, interpret=interpret, any_hit=any_hit,
-            **tlkw,
-        )
+        cap = chunk_tiles * avg
+        lo_d, hi_d = jnp.asarray(lo), jnp.asarray(hi)
+        rows_d = jnp.asarray(tri_rows)
+        outs = []
+        for k in range(n_chunks):
+            s = k * chunk_tiles * TILE
+            e = s + chunk_tiles * TILE
+            outs.append(_trace_tiles(
+                org[s:e], dirn[s:e], tmv[s:e], lo_d, hi_d, rows_d,
+                n_clusters=n_clusters, pair_cap=cap,
+                per_tile_clamp=clamp, interpret=interpret,
+                any_hit=any_hit, **tlkw,
+            ))
+        if n_chunks == 1:
+            bt, bu, bv, bs, bi, stats = outs[0]
+        else:
+            bt, bu, bv, bs, bi = (
+                jnp.concatenate([o[f] for o in outs])
+                for f in range(5)
+            )
+            stats = jnp.stack(
+                [sum(o[5][0] for o in outs),
+                 jnp.max(jnp.stack([o[5][1] for o in outs]))]
+            )
         if restore_key is not None:
             _, bt, bu, bv, bs, bi = jax.lax.sort(
                 (restore_key, bt, bu, bv, bs, bi), num_keys=1
