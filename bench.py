@@ -113,7 +113,7 @@ def main():
     last_err = ""
     for attempt in range(args.retries):
         r = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=3000)
+                           timeout=4200)
         for line in r.stdout.splitlines():
             if line.startswith("{"):
                 print(line)

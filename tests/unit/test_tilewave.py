@@ -223,8 +223,12 @@ def test_launch_chunking_matches_single(rng, monkeypatch):
     org, dirn = _rand_rays(rng, 4096, center, 3.0)  # 4 tiles
     c_one, a_one = make_tile_intersector(ds, accel, interpret=True)
     h1 = c_one(org, dirn, 0.0, jnp.inf)
-    # force 1-tile chunks (4 launches)
-    monkeypatch.setattr(tw, "MAX_PAIRS_PER_LAUNCH", 1)
+    # force 1-tile chunks (4 launches): pair-loop mode chunks by tile
+    # count (grid mode, TPURT_PAIR_LOOP=0, chunks by pair capacity)
+    if tw._os.environ.get("TPURT_PAIR_LOOP", "1") == "1":
+        monkeypatch.setattr(tw, "TILES_PER_LAUNCH", 1)
+    else:
+        monkeypatch.setattr(tw, "MAX_PAIRS_PER_LAUNCH", 1)
     c_chunk, a_chunk = make_tile_intersector(ds, accel, interpret=True)
     h4 = c_chunk(org, dirn, 0.0, jnp.inf)
     np.testing.assert_array_equal(np.asarray(h1.valid), np.asarray(h4.valid))

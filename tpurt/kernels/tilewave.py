@@ -753,6 +753,199 @@ def _launch_tiles(packed, org, dirn, t_max_vec, tri_rows, *, n_tiles,
     return bt, bu, bv, bs, bi, stats
 
 
+def _tileloop_kernel(
+    *refs,  # prefetch refs, tri_ref, ray_ref, out_ref, scratch...
+    two_level: bool = False,
+    n_out: int = 4,
+    smem_tri: bool = True,
+):
+    """Grid-over-TILES pair-loop kernel (round-2 production traversal).
+
+    One grid step per ray tile; the step fori-loops over the tile's REAL
+    (tile, cluster) pairs via SMEM segment offsets. Versus the
+    grid-over-pairs kernel (``_tile_kernel``) this removes the ~1 µs of
+    Mosaic grid machinery per pair SLOT (budget slots and sentinel pairs
+    included — the round-1 design paid it even for empty slots), writes
+    each output block exactly once (no cross-step revisit), and — because
+    the launch shape no longer depends on the wave's pair budget — lets
+    every wave kind (primary/bounce/shadow, closest and any-hit: the
+    any-hit early-out rides a runtime prefetch flag) share ONE Mosaic
+    kernel variant, cutting the remote-compile warmup ~3×.
+
+    Operand order: off_ref (TL+1,) i32 segment offsets; pc_ref (PCAP,)
+    i32 cluster id per pair slot (tile-major); fl_ref (1,) i32 bit0 =
+    any-hit; [pm_ref/xf_ref two-level tables]; tri_ref; packed ray tile;
+    packed out block. Cluster triangle rows are double-buffer DMA'd into
+    SMEM across loop iterations (same discipline as ``_tile_kernel``).
+    """
+    if two_level:
+        (off_ref, pc_ref, fl_ref, pm_ref, xf_ref, tri_ref, ray_ref,
+         out_ref) = refs[:8]
+        scratch = refs[8:]
+    else:
+        off_ref, pc_ref, fl_ref, tri_ref, ray_ref, out_ref = refs[:6]
+        scratch = refs[6:]
+    i = pl.program_id(0)
+    s = off_ref[i]
+    e = off_ref[i + 1]
+    is_any = fl_ref[0] == 1
+
+    if two_level:
+
+        def row_base(cid):
+            return pm_ref[cid] & ((1 << INST_SHIFT) - 1)
+    else:
+
+        def row_base(cid):
+            return cid * ROWS_PER_CLUSTER
+
+    # init best state: bt from tmax (dead rays −1), u=v=0, slot(−1)[,inst]
+    tm = ray_ref[6 * SUB:7 * SUB, :]
+    out_ref[0:SUB, :] = jnp.where(tm >= 0.0, tm, -1.0)
+    out_ref[SUB:3 * SUB, :] = jnp.zeros((2 * SUB, 128), jnp.float32)
+    out_ref[3 * SUB:n_out * SUB, :] = jnp.full(
+        ((n_out - 3) * SUB, 128), -1.0, jnp.float32
+    )
+
+    # world-space ray fields, loaded once per tile
+    wox = ray_ref[0:SUB, :]
+    woy = ray_ref[SUB:2 * SUB, :]
+    woz = ray_ref[2 * SUB:3 * SUB, :]
+    wdx = ray_ref[3 * SUB:4 * SUB, :]
+    wdy = ray_ref[4 * SUB:5 * SUB, :]
+    wdz = ray_ref[5 * SUB:6 * SUB, :]
+    wix = ray_ref[7 * SUB:8 * SUB, :]
+    wiy = ray_ref[8 * SUB:9 * SUB, :]
+    wiz = ray_ref[9 * SUB:10 * SUB, :]
+
+    def _pair_rays(c):
+        """Ray fields in the pair's test space (object space when
+        two_level — the TLAS→BLAS transform of SURVEY.md §3.3; d is NOT
+        renormalized so t stays in world units)."""
+        if not two_level:
+            return wox, woy, woz, wdx, wdy, wdz, wix, wiy, wiz
+        b = jnp.maximum(c, 0) * 12
+        m = [xf_ref[b + k] for k in range(12)]
+        nox = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
+        noy = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
+        noz = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
+        ndx = m[0] * wdx + m[1] * wdy + m[2] * wdz
+        ndy = m[4] * wdx + m[5] * wdy + m[6] * wdz
+        ndz = m[8] * wdx + m[9] * wdy + m[10] * wdz
+
+        def inv(dv):
+            return 1.0 / jnp.where(
+                jnp.abs(dv) < 1e-12,
+                jnp.where(dv >= 0.0, 1e-12, -1e-12), dv,
+            )
+
+        return nox, noy, noz, ndx, ndy, ndz, inv(ndx), inv(ndy), inv(ndz)
+
+    if smem_tri:
+        sm_ref, sems = scratch[0], scratch[1]
+
+        def cluster_dma(sl, cid):
+            return pltpu.make_async_copy(
+                tri_ref.at[pl.ds(row_base(cid), ROWS_PER_CLUSTER), :],
+                sm_ref.at[sl],
+                sems.at[sl],
+            )
+
+        # bootstrap the double buffer: pair s starts its own copy; pair
+        # p starts p+1's during its compute; every started copy is waited
+        # exactly once (balanced even at tile boundaries — segments never
+        # prefetch past their own end)
+        @pl.when(e > s)
+        def _():
+            cluster_dma(jax.lax.rem(s, 2), pc_ref[s]).start()
+
+    def body(p, carry):
+        c = pc_ref[p]
+        if smem_tri:
+            slot = jax.lax.rem(p, 2)
+
+            @pl.when(p + 1 < e)
+            def _():
+                cluster_dma(1 - slot, pc_ref[p + 1]).start()
+
+            cluster_dma(slot, c).wait()
+        # any-hit early-out (runtime flag): all lanes occluded or dead ⇒
+        # remaining pairs skip their vector work (the DMA chain continues
+        # unconditionally to keep semaphores balanced — 4 KB per pair is
+        # noise next to the skipped row tests)
+        done = is_any & jnp.all(
+            (out_ref[3 * SUB:4 * SUB, :] >= 0.0)
+            | (out_ref[0:SUB, :] < 0.0)
+        )
+
+        @pl.when(~done)
+        def _():
+            (ox, oy, oz, dx, dy, dz, ivx, ivy, ivz) = _pair_rays(c)
+            if two_level:
+                inst_f = (pm_ref[jnp.maximum(c, 0)]
+                          >> INST_SHIFT).astype(jnp.float32)
+            if smem_tri:
+                for r in range(ROWS_PER_CLUSTER):
+                    bt_r = out_ref[0:SUB, :]
+                    tn, tf = _row_box_interval(
+                        sm_ref, slot, r, ox, oy, oz, ivx, ivy, ivz, bt_r
+                    )
+
+                    @pl.when(jnp.any(tn <= tf))
+                    def _(r=r):
+                        cand = []
+                        _row_candidates_smem(
+                            sm_ref, slot, r, ox, oy, oz, dx, dy, dz, cand
+                        )
+                        tr, ur, vr, sr = _fold_candidates(cand)
+                        bt = out_ref[0:SUB, :]
+                        win = tr < bt
+                        out_ref[0:SUB, :] = jnp.where(win, tr, bt)
+                        out_ref[SUB:2 * SUB, :] = jnp.where(
+                            win, ur, out_ref[SUB:2 * SUB, :])
+                        out_ref[2 * SUB:3 * SUB, :] = jnp.where(
+                            win, vr, out_ref[2 * SUB:3 * SUB, :])
+                        out_ref[3 * SUB:4 * SUB, :] = jnp.where(
+                            win, sr, out_ref[3 * SUB:4 * SUB, :])
+                        if two_level:
+                            out_ref[4 * SUB:5 * SUB, :] = jnp.where(
+                                win, inst_f, out_ref[4 * SUB:5 * SUB, :])
+            else:
+                # interpret/no-SMEM flavor: compact fori over rows with
+                # vector lane extracts (CPU tests keep small jaxprs)
+                base = row_base(jnp.maximum(c, 0))
+
+                def rbody(r, cr):
+                    row = tri_ref[pl.ds(base + r, 1), :]
+                    out = []
+                    _row_candidates(row, ox, oy, oz, dx, dy, dz, out)
+                    return _fold_candidates(out + [cr])
+
+                init = (jnp.full((SUB, 128), BIG, jnp.float32),
+                        jnp.zeros((SUB, 128), jnp.float32),
+                        jnp.zeros((SUB, 128), jnp.float32),
+                        jnp.full((SUB, 128), -1.0, jnp.float32))
+                tm_c, um, vm, sm = jax.lax.fori_loop(
+                    0, ROWS_PER_CLUSTER, rbody, init
+                )
+                bt = out_ref[0:SUB, :]
+                win = tm_c < bt
+                out_ref[0:SUB, :] = jnp.where(win, tm_c, bt)
+                out_ref[SUB:2 * SUB, :] = jnp.where(
+                    win, um, out_ref[SUB:2 * SUB, :])
+                out_ref[2 * SUB:3 * SUB, :] = jnp.where(
+                    win, vm, out_ref[2 * SUB:3 * SUB, :])
+                out_ref[3 * SUB:4 * SUB, :] = jnp.where(
+                    win, sm, out_ref[3 * SUB:4 * SUB, :])
+                if two_level:
+                    out_ref[4 * SUB:5 * SUB, :] = jnp.where(
+                        win, inst_f, out_ref[4 * SUB:5 * SUB, :])
+
+        return carry
+
+    jax.lax.fori_loop(s, e, body, 0)
+
+
 # scenes with at most this many clusters take the static all-pairs path
 # (no sort, no mask, no expansion — zero per-trace XLA machinery)
 ALLPAIRS_MAX_CLUSTERS = 8
@@ -767,6 +960,144 @@ ALLPAIRS_MAX_CLUSTERS = 8
 # two-level prefetch tables, kernel scratch, and compiler SMEM use.
 MAX_PAIRS_PER_LAUNCH = 96 * 1024
 
+# pair-loop mode: ray tiles per kernel launch. Fixed (wave-independent)
+# so every wave kind of a config shares one Mosaic kernel variant.
+TILES_PER_LAUNCH = 256
+
+
+def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
+                      n_clusters, pcap, per_tile_clamp, interpret,
+                      any_hit, all_pairs=False, pair_meta=None,
+                      inv_xform=None):
+    """Pair-loop twin of ``_trace_tiles``: builds per-tile pair SEGMENTS
+    (offsets + tile-major cluster list, no sentinels — a tile with zero
+    pairs simply iterates nothing; its output block is always initialized
+    by the kernel) and launches ``_tileloop_kernel``."""
+    n = org.shape[0]
+    n_tiles = n // TILE
+    assert n % TILE == 0, "caller pads rays to TILE"
+    if all_pairs:
+        import numpy as _np
+
+        assert pcap == n_tiles * n_clusters
+        off = jnp.asarray(
+            _np.arange(n_tiles + 1, dtype=_np.int32) * n_clusters
+        )
+        pair_cl = jnp.asarray(_np.tile(
+            _np.arange(n_clusters, dtype=_np.int32), n_tiles
+        ))
+        n_pairs = jnp.asarray(n_tiles * n_clusters, jnp.int32)
+        overflow = jnp.zeros((), bool)
+        return _launch_tiles_loop(
+            off, pair_cl, org, dirn, t_max_vec, tri_rows,
+            n_tiles=n_tiles, interpret=interpret, any_hit=any_hit,
+            n_pairs=n_pairs, overflow=overflow, pair_meta=pair_meta,
+            inv_xform=inv_xform,
+        )
+    mask = _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles)
+    # per-tile clamp (an overfull tile drops its trailing Morton-order
+    # clusters — flagged), then the global SMEM capacity cap (trailing
+    # tiles lose pairs — also flagged; render_scene auto-retries with
+    # doubled budgets on either flag)
+    # per_tile_clamp keeps the documented grid-mode meaning (budget slots
+    # per tile INCLUDING the tile's guaranteed sentinel slot), so configs
+    # and tests behave identically across modes: real pairs = clamp − 1
+    keep = n_clusters if per_tile_clamp <= 0 else min(per_tile_clamp - 1,
+                                                      n_clusters)
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1)
+    counts_raw = rank[:, -1]
+    overflow = jnp.any(counts_raw > keep)
+    mask = mask & (rank <= keep)
+    counts = jnp.minimum(counts_raw, keep)
+    total = counts.sum(dtype=jnp.int32)
+    overflow = overflow | (total > pcap)
+    off = jnp.minimum(
+        jnp.concatenate([
+            jnp.zeros(1, jnp.int32),
+            jnp.cumsum(counts, dtype=jnp.int32),
+        ]),
+        pcap,
+    )
+    # row-major nonzero over (T, C) is already tile-major; truncation at
+    # pcap stays aligned with the clamped offsets above
+    ridx = jnp.nonzero(mask.ravel(), size=pcap, fill_value=0)[0]
+    pair_cl = (ridx % n_clusters).astype(jnp.int32)
+    return _launch_tiles_loop(
+        off, pair_cl, org, dirn, t_max_vec, tri_rows, n_tiles=n_tiles,
+        interpret=interpret, any_hit=any_hit, n_pairs=total,
+        overflow=overflow, pair_meta=pair_meta, inv_xform=inv_xform,
+    )
+
+
+def _launch_tiles_loop(off, pair_cl, org, dirn, t_max_vec, tri_rows, *,
+                       n_tiles, interpret, any_hit, n_pairs, overflow,
+                       pair_meta=None, inv_xform=None):
+    two_level = pair_meta is not None
+    n_out = 5 if two_level else 4
+    n = org.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(dirn) < 1e-12,
+                            jnp.where(dirn >= 0.0, 1e-12, -1e-12), dirn)
+    ray_pack = jnp.concatenate(
+        [a.reshape(n_tiles, SUB, 128) for a in (
+            org[:, 0], org[:, 1], org[:, 2],
+            dirn[:, 0], dirn[:, 1], dirn[:, 2], t_max_vec,
+            inv_d[:, 0], inv_d[:, 1], inv_d[:, 2])],
+        axis=1,
+    ).reshape(n_tiles * 10 * SUB, 128)
+    # runtime any-hit flag: an operand VALUE, not kernel structure — the
+    # closest and any-hit stages share one Mosaic compile
+    flags = jnp.full((1,), 1 if any_hit else 0, jnp.int32)
+    n_prefetch = 5 if two_level else 3
+
+    def _by_i(i, *prefetch):
+        del prefetch
+        return (i, 0)
+
+    in_spec = pl.BlockSpec((10 * SUB, 128), _by_i,
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((n_out * SUB, 128), _by_i,
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_tiles * n_out * SUB, 128),
+                                     jnp.float32)
+    (ray_pack,) = jax.lax.optimization_barrier((ray_pack,))
+    smem_tri = _os.environ.get(
+        "TPURT_SMEM_TRI", "" if interpret else "1") == "1"
+    scratch = []
+    if smem_tri:
+        scratch = [
+            pltpu.SMEM((2, ROWS_PER_CLUSTER, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_prefetch,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), in_spec],
+        out_specs=[out_spec],
+        scratch_shapes=scratch,
+    )
+    operands = (off, pair_cl, flags, tri_rows, ray_pack)
+    if two_level:
+        operands = (off, pair_cl, flags, pair_meta,
+                    inv_xform.reshape(-1), tri_rows, ray_pack)
+    out = pl.pallas_call(
+        functools.partial(_tileloop_kernel, two_level=two_level,
+                          n_out=n_out, smem_tri=smem_tri),
+        grid_spec=grid_spec,
+        out_shape=[out_shape],
+        interpret=interpret,
+    )(*operands)[0]
+    (out,) = jax.lax.optimization_barrier((out,))
+    out = out.reshape(n_tiles, n_out, SUB, 128)
+    bt = out[:, 0].reshape(n)
+    bu = out[:, 1].reshape(n)
+    bv = out[:, 2].reshape(n)
+    bs = out[:, 3].reshape(n)
+    bi = out[:, 4].reshape(n) if two_level else jnp.zeros_like(bt)
+    stats = jnp.stack(
+        [n_pairs.astype(jnp.float32), overflow.astype(jnp.float32)]
+    )
+    return bt, bu, bv, bs, bi, stats
+
 
 def make_tile_intersector(ds, accel: PairAccel, *,
                           interpret: bool | None = None,
@@ -775,6 +1106,7 @@ def make_tile_intersector(ds, accel: PairAccel, *,
                           ray_sort: str = "none",
                           shadow_ray_sort: str = "octant",
                           shadow_pairs_avg: int = 0,
+                          pairs_avg_cap: int = 0,
                           lean: bool = False):
     """Closest/any-hit pair over uniform Morton clusters, tile-granular
     (same interface as make_brute_force / make_packet_intersector).
@@ -788,9 +1120,17 @@ def make_tile_intersector(ds, accel: PairAccel, *,
     kernel grid = n_tiles · pairs_avg); shadow/any-hit traces get their
     own sort mode and budget (``shadow_ray_sort``/``shadow_pairs_avg``,
     0 = same as pairs_avg) because occlusion waves have a different
-    coherence structure than camera waves (measured in PARITY.md)."""
+    coherence structure than camera waves (measured in PARITY.md).
+
+    ``pairs_avg_cap`` (pair-loop mode, TPURT_PAIR_LOOP=1 default): the
+    UNIFIED per-tile average sizing the SMEM pair-segment capacity for
+    every wave kind — callers pass max(primary, bounce, shadow) so all
+    six stage instances of a config share one Mosaic kernel variant
+    (capacity is SMEM footprint only; tiles iterate their real pair
+    count, so an oversized cap costs no compute)."""
     if interpret is None:
         interpret = _use_interpret()
+    use_loop = _os.environ.get("TPURT_PAIR_LOOP", "1") == "1"
     lo = accel.cluster_lo
     hi = accel.cluster_hi
     tri_rows = accel.tri_rows
@@ -832,12 +1172,15 @@ def make_tile_intersector(ds, accel: PairAccel, *,
         )
         if n_clusters <= ALLPAIRS_MAX_CLUSTERS:
             assert n_tiles < 32768, "pair encoding caps tiles at 32767"
-            bt, bu, bv, bs, bi, stats = _trace_tiles(
+            trace_fn = _trace_tiles_loop if use_loop else _trace_tiles
+            capkw = (dict(pcap=n_tiles * n_clusters) if use_loop
+                     else dict(pair_cap=n_tiles * n_clusters))
+            bt, bu, bv, bs, bi, stats = trace_fn(
                 org, dirn, tmv, jnp.asarray(lo), jnp.asarray(hi),
                 jnp.asarray(tri_rows), n_clusters=n_clusters,
-                pair_cap=n_tiles * n_clusters, per_tile_clamp=0,
+                per_tile_clamp=0,
                 interpret=interpret, any_hit=any_hit, all_pairs=True,
-                **tlkw,
+                **capkw, **tlkw,
             )
             return bt[:n], bu[:n], bv[:n], bs[:n], bi[:n], stats
         clamp = (
@@ -846,13 +1189,28 @@ def make_tile_intersector(ds, accel: PairAccel, *,
         )
         eff_avg = pairs_avg if avg_over is None else avg_over
         avg = clamp if eff_avg <= 0 else min(eff_avg, clamp)
-        # SMEM-bounded launch chunking: split the wave into equal tile
-        # ranges so each launch's pair list fits MAX_PAIRS_PER_LAUNCH;
-        # ray padding (dead rays) makes every chunk the same shape, so
-        # ONE Mosaic kernel variant serves all chunks.
-        chunk_tiles = min(
-            n_tiles, max(1, MAX_PAIRS_PER_LAUNCH // avg), 32767
-        )
+        if use_loop:
+            # pair-loop mode: fixed tiles-per-launch; capacity comes
+            # from the UNIFIED budget so every wave shares one variant
+            cap_avg = pairs_avg_cap if pairs_avg_cap > 0 else max(
+                pairs_avg, shadow_pairs_avg, eff_avg or 0
+            )
+            chunk_tiles = min(TILES_PER_LAUNCH, n_tiles)
+            if cap_avg <= 0:
+                pcap = min(chunk_tiles * n_clusters,
+                           MAX_PAIRS_PER_LAUNCH)
+            else:
+                pcap = min(chunk_tiles * min(cap_avg, n_clusters),
+                           MAX_PAIRS_PER_LAUNCH)
+        else:
+            # SMEM-bounded launch chunking: split the wave into equal
+            # tile ranges so each launch's pair list fits
+            # MAX_PAIRS_PER_LAUNCH; ray padding (dead rays) makes every
+            # chunk the same shape, so ONE Mosaic kernel variant serves
+            # all chunks.
+            chunk_tiles = min(
+                n_tiles, max(1, MAX_PAIRS_PER_LAUNCH // avg), 32767
+            )
         n_chunks = -(-n_tiles // chunk_tiles)
         extra_tiles = n_chunks * chunk_tiles - n_tiles
         if extra_tiles:
@@ -889,19 +1247,26 @@ def make_tile_intersector(ds, accel: PairAccel, *,
             org = jnp.stack([ox_s, oy_s, oz_s], axis=1)
             dirn = jnp.stack([dx_s, dy_s, dz_s], axis=1)
             tmv = tm_s
-        cap = chunk_tiles * avg
         lo_d, hi_d = jnp.asarray(lo), jnp.asarray(hi)
         rows_d = jnp.asarray(tri_rows)
         outs = []
         for k in range(n_chunks):
             s = k * chunk_tiles * TILE
             e = s + chunk_tiles * TILE
-            outs.append(_trace_tiles(
-                org[s:e], dirn[s:e], tmv[s:e], lo_d, hi_d, rows_d,
-                n_clusters=n_clusters, pair_cap=cap,
-                per_tile_clamp=clamp, interpret=interpret,
-                any_hit=any_hit, **tlkw,
-            ))
+            if use_loop:
+                outs.append(_trace_tiles_loop(
+                    org[s:e], dirn[s:e], tmv[s:e], lo_d, hi_d, rows_d,
+                    n_clusters=n_clusters, pcap=pcap,
+                    per_tile_clamp=pairs_per_tile, interpret=interpret,
+                    any_hit=any_hit, **tlkw,
+                ))
+            else:
+                outs.append(_trace_tiles(
+                    org[s:e], dirn[s:e], tmv[s:e], lo_d, hi_d, rows_d,
+                    n_clusters=n_clusters, pair_cap=chunk_tiles * avg,
+                    per_tile_clamp=clamp, interpret=interpret,
+                    any_hit=any_hit, **tlkw,
+                ))
         if n_chunks == 1:
             bt, bu, bv, bs, bi, stats = outs[0]
         else:

@@ -225,6 +225,11 @@ def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
             pairs_avg=avg, ray_sort=sort,
             shadow_ray_sort=config.tile_shadow_sort,
             shadow_pairs_avg=config.pairs_avg_shadow,
+            # unified SMEM pair capacity (pair-loop mode): identical for
+            # every wave kind so trace0/traceN/occlude share ONE Mosaic
+            # kernel variant per config
+            pairs_avg_cap=max(config.pairs_avg, config.pairs_avg_bounce,
+                              config.pairs_avg_shadow),
             lean=True,
         )
     if isinstance(accel, PacketAccel) or (
