@@ -489,9 +489,14 @@ def _tile_kernel(
                 win, inst_f, out_ref[4 * SUB:5 * SUB, :])
 
 
-def _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles):
+def _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles, return_tn=False):
     """(T, C) bool, CONSERVATIVE: may cluster c's box be hit by some ray
-    of tile t?
+    of tile t?  With ``return_tn`` also returns the (T, C) f32 lower
+    bound of the slab entry distance (the front-to-back pair-ordering
+    key: testing near clusters first tightens every ray's best t early,
+    which the kernel's per-row box far-limit then turns into skipped
+    rows; for any-hit waves near clusters occlude sooner, feeding the
+    all-occluded early-out).
 
     Interval-arithmetic frustum test: the tile is summarized by its
     alive-ray origin box and inverse-direction interval, and the slab
@@ -546,12 +551,15 @@ def _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles):
         far_hi = g_far if far_hi is None else jnp.maximum(far_hi, g_far)
     tn_lower = jnp.max(near_lo, axis=-1)  # (T, C)
     tf_upper = jnp.min(far_hi, axis=-1)
-    return (
+    mask = (
         (tn_lower <= tf_upper)
         & (tf_upper >= 0.0)
         & (tn_lower <= tm_t[:, None])
         & (tm_t[:, None] >= 0.0)
     )
+    if return_tn:
+        return mask, tn_lower
+    return mask
 
 
 def _octant_sort_keys(org, dirn, t_max_vec, scene_lo, scene_hi):
@@ -773,18 +781,27 @@ def _tileloop_kernel(
     kernel variant, cutting the remote-compile warmup ~3×.
 
     Operand order: off_ref (TL+1,) i32 segment offsets; pc_ref (PCAP,)
-    i32 cluster id per pair slot (tile-major); fl_ref (1,) i32 bit0 =
-    any-hit; [pm_ref/xf_ref two-level tables]; tri_ref; packed ray tile;
-    packed out block. Cluster triangle rows are double-buffer DMA'd into
-    SMEM across loop iterations (same discipline as ``_tile_kernel``).
+    i32 pair entries (tile-major, FRONT-TO-BACK: quantized slab-entry
+    bound << 16 | cluster id); fl_ref (1,) i32 bit0 = any-hit; sc_ref
+    (1,) f32 tn dequantization scale; [pm_ref/xf_ref two-level tables];
+    tri_ref; packed ray tile; packed out block. Cluster triangle rows
+    are double-buffer DMA'd into SMEM across loop iterations (same
+    discipline as ``_tile_kernel``).
+
+    FAR BREAK: entries sort front-to-back per tile and carry a floor-
+    quantized lower bound of the cluster's slab entry distance, so
+    ``deq ≤ true tn``. Once every lane's best t (or tmax, or dead −1)
+    is below ``deq``, no later pair of this tile can improve any lane —
+    the remaining pairs skip their vector work in a few ops.
     """
     if two_level:
-        (off_ref, pc_ref, fl_ref, pm_ref, xf_ref, tri_ref, ray_ref,
-         out_ref) = refs[:8]
-        scratch = refs[8:]
+        (off_ref, pc_ref, fl_ref, sc_ref, pm_ref, xf_ref, tri_ref,
+         ray_ref, out_ref) = refs[:9]
+        scratch = refs[9:]
     else:
-        off_ref, pc_ref, fl_ref, tri_ref, ray_ref, out_ref = refs[:6]
-        scratch = refs[6:]
+        off_ref, pc_ref, fl_ref, sc_ref, tri_ref, ray_ref, out_ref = \
+            refs[:7]
+        scratch = refs[7:]
     i = pl.program_id(0)
     s = off_ref[i]
     e = off_ref[i + 1]
@@ -857,26 +874,30 @@ def _tileloop_kernel(
         # prefetch past their own end)
         @pl.when(e > s)
         def _():
-            cluster_dma(jax.lax.rem(s, 2), pc_ref[s]).start()
+            cluster_dma(jax.lax.rem(s, 2), pc_ref[s] & 0xFFFF).start()
 
     def body(p, carry):
-        c = pc_ref[p]
+        v = pc_ref[p]
+        c = v & 0xFFFF
         if smem_tri:
             slot = jax.lax.rem(p, 2)
 
             @pl.when(p + 1 < e)
             def _():
-                cluster_dma(1 - slot, pc_ref[p + 1]).start()
+                cluster_dma(1 - slot, pc_ref[p + 1] & 0xFFFF).start()
 
             cluster_dma(slot, c).wait()
-        # any-hit early-out (runtime flag): all lanes occluded or dead ⇒
-        # remaining pairs skip their vector work (the DMA chain continues
-        # unconditionally to keep semaphores balanced — 4 KB per pair is
-        # noise next to the skipped row tests)
-        done = is_any & jnp.all(
+        # Early-outs (the DMA chain continues unconditionally to keep
+        # semaphores balanced — 4 KB per pair is noise next to the
+        # skipped row tests): any-hit all-occluded (runtime flag), and
+        # the front-to-back far break — every lane already beats this
+        # pair's entry-distance lower bound (see kernel docstring).
+        deq = (v >> 16).astype(jnp.float32) * sc_ref[0]
+        done = jnp.all(out_ref[0:SUB, :] < deq)
+        done = done | (is_any & jnp.all(
             (out_ref[3 * SUB:4 * SUB, :] >= 0.0)
             | (out_ref[0:SUB, :] < 0.0)
-        )
+        ))
 
         @pl.when(~done)
         def _():
@@ -976,6 +997,7 @@ def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
     n = org.shape[0]
     n_tiles = n // TILE
     assert n % TILE == 0, "caller pads rays to TILE"
+    assert n_clusters < 65536, "pair entries pack cluster ids in 16 bits"
     if all_pairs:
         import numpy as _np
 
@@ -992,9 +1014,10 @@ def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
             off, pair_cl, org, dirn, t_max_vec, tri_rows,
             n_tiles=n_tiles, interpret=interpret, any_hit=any_hit,
             n_pairs=n_pairs, overflow=overflow, pair_meta=pair_meta,
-            inv_xform=inv_xform,
+            inv_xform=inv_xform, tn_scale=None,
         )
-    mask = _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles)
+    mask, tn_lower = _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles,
+                                return_tn=True)
     # per-tile clamp (an overfull tile drops its trailing Morton-order
     # clusters — flagged), then the global SMEM capacity cap (trailing
     # tiles lose pairs — also flagged; render_scene auto-retries with
@@ -1018,20 +1041,40 @@ def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
         ]),
         pcap,
     )
-    # row-major nonzero over (T, C) is already tile-major; truncation at
-    # pcap stays aligned with the clamped offsets above
-    ridx = jnp.nonzero(mask.ravel(), size=pcap, fill_value=0)[0]
-    pair_cl = (ridx % n_clusters).astype(jnp.int32)
+    # FRONT-TO-BACK pair order: compact + order the (T, C) entries with
+    # one 2-key lax.sort — (tile, packed entry) — instead of nonzero
+    # (sort is the fast data-movement primitive on this backend,
+    # PARITY.md law 2). The packed entry carries a FLOOR-quantized slab
+    # entry distance in its high bits (deq ≤ true tn — the kernel's
+    # exact far-break key) and the cluster id in its low 16; sorting by
+    # it is front-to-back. Dead entries key to (n_tiles, INT32_MAX) and
+    # land past every real segment; truncation at pcap stays aligned
+    # with the clamped offsets because tiles sort in index order.
+    scene_diag = jnp.linalg.norm(jnp.max(hi, axis=0) - jnp.min(lo, axis=0))
+    tn_scale = jnp.maximum(scene_diag, 1e-12) / 32766.0
+    tn_q = jnp.clip(
+        (jnp.maximum(tn_lower, 0.0) / tn_scale).astype(jnp.int32),
+        0, 32766,
+    )
+    tile_of = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, n_clusters),
+                                       0)
+    cl_of = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, n_clusters), 1)
+    entry = (tn_q << 16) | cl_of
+    k_tile = jnp.where(mask, tile_of, n_tiles).ravel()
+    k_entry = jnp.where(mask, entry, jnp.int32(2**31 - 1)).ravel()
+    _, pair_cl = jax.lax.sort((k_tile, k_entry), num_keys=2)
+    pair_cl = pair_cl[:pcap]
     return _launch_tiles_loop(
         off, pair_cl, org, dirn, t_max_vec, tri_rows, n_tiles=n_tiles,
         interpret=interpret, any_hit=any_hit, n_pairs=total,
         overflow=overflow, pair_meta=pair_meta, inv_xform=inv_xform,
+        tn_scale=tn_scale,
     )
 
 
 def _launch_tiles_loop(off, pair_cl, org, dirn, t_max_vec, tri_rows, *,
                        n_tiles, interpret, any_hit, n_pairs, overflow,
-                       pair_meta=None, inv_xform=None):
+                       pair_meta=None, inv_xform=None, tn_scale=None):
     two_level = pair_meta is not None
     n_out = 5 if two_level else 4
     n = org.shape[0]
@@ -1044,10 +1087,16 @@ def _launch_tiles_loop(off, pair_cl, org, dirn, t_max_vec, tri_rows, *,
             inv_d[:, 0], inv_d[:, 1], inv_d[:, 2])],
         axis=1,
     ).reshape(n_tiles * 10 * SUB, 128)
-    # runtime any-hit flag: an operand VALUE, not kernel structure — the
-    # closest and any-hit stages share one Mosaic compile
+    # runtime any-hit flag + far-break scale: operand VALUES, not kernel
+    # structure — every stage shares one Mosaic compile. tn_scale=None
+    # (all-pairs path: entries carry no distance bits) → scale 0 makes
+    # the far break vacuous (deq = 0 beats no live lane).
     flags = jnp.full((1,), 1 if any_hit else 0, jnp.int32)
-    n_prefetch = 5 if two_level else 3
+    scale = jnp.reshape(
+        jnp.asarray(tn_scale if tn_scale is not None else 0.0,
+                    jnp.float32), (1,)
+    )
+    n_prefetch = 6 if two_level else 4
 
     def _by_i(i, *prefetch):
         del prefetch
@@ -1075,9 +1124,9 @@ def _launch_tiles_loop(off, pair_cl, org, dirn, t_max_vec, tri_rows, *,
         out_specs=[out_spec],
         scratch_shapes=scratch,
     )
-    operands = (off, pair_cl, flags, tri_rows, ray_pack)
+    operands = (off, pair_cl, flags, scale, tri_rows, ray_pack)
     if two_level:
-        operands = (off, pair_cl, flags, pair_meta,
+        operands = (off, pair_cl, flags, scale, pair_meta,
                     inv_xform.reshape(-1), tri_rows, ray_pack)
     out = pl.pallas_call(
         functools.partial(_tileloop_kernel, two_level=two_level,

@@ -183,11 +183,18 @@ def _render_scene_once(
 ):
     scene_key: object
     if scene is None:
-        scene = load_scene(config.scene)
         # cache by preset/path name: a reloaded identical scene must hit
         # the compiled-context cache (id() misses on every reload, which
-        # costs an accel rebuild + full stage recompile per frame)
+        # costs an accel rebuild + full stage recompile per frame) — and
+        # the HOST scene itself is cached too: regenerating a procedural
+        # scene costs ~1s of numpy per frame (measured on bunny), which
+        # dominated warm frame time before any device work began
         scene_key = config.scene
+        cached = _SCENE_CACHE.get(("host_scene", scene_key))
+        if cached is None:
+            cached = load_scene(config.scene)
+            _SCENE_CACHE[("host_scene", scene_key)] = cached
+        scene = cached
     else:
         scene_key = id(scene)
     cam = camera if camera is not None else scene.camera
@@ -223,6 +230,8 @@ def _render_scene_once(
         ctx = {"meta": meta, "ds": ds, "accel": accel}
         _SCENE_CACHE.clear()  # hold at most one scene context
         _SCENE_CACHE[cache_key] = ctx
+        if scene_key == config.scene:  # keep the host scene cached too
+            _SCENE_CACHE[("host_scene", scene_key)] = scene
     meta, ds, accel = ctx["meta"], ctx["ds"], ctx["accel"]
 
     if state is None:
