@@ -55,7 +55,8 @@ SHADE_LANES = 32  # record stride: 4 records per 128-lane row
 #   6:9   .. at v1      9:12  .. at v2
 #   12    material kind  13:16 albedo  16:19 emission
 #   19    param0  20 param1  21 material id
-SHADE_USED = 22
+#   22:24 uv at v0  24:26 uv at v1  26:28 uv at v2  28 texture id
+SHADE_USED = 29
 
 
 class PairAccel(NamedTuple):
@@ -155,6 +156,7 @@ def _host_shading(ds: DeviceScene | None, meta: SceneMeta, scene=None):
     matrix, material override), and material tables."""
     if scene is not None:
         n0s, n1s, n2s, mats = [], [], [], []
+        uv0s, uv1s, uv2s = [], [], []
         for mesh in scene.meshes:
             idx = mesh.indices
             nrm = (mesh.normals if mesh.normals is not None
@@ -162,10 +164,19 @@ def _host_shading(ds: DeviceScene | None, meta: SceneMeta, scene=None):
             n0s.append(nrm[idx[:, 0]])
             n1s.append(nrm[idx[:, 1]])
             n2s.append(nrm[idx[:, 2]])
+            uv = (mesh.uvs if mesh.uvs is not None
+                  else np.zeros((mesh.vertices.shape[0], 2), np.float32))
+            uv0s.append(uv[idx[:, 0]])
+            uv1s.append(uv[idx[:, 1]])
+            uv2s.append(uv[idx[:, 2]])
             mats.append(mesh.material_ids)
         tn0 = np.concatenate(n0s).astype(np.float32)
         tn1 = np.concatenate(n1s).astype(np.float32)
         tn2 = np.concatenate(n2s).astype(np.float32)
+        tuv = tuple(
+            np.concatenate(x).astype(np.float32)
+            for x in (uv0s, uv1s, uv2s)
+        )
         tmat = np.concatenate(mats).astype(np.int32)
         inst_nrm = np.stack([
             np.linalg.inv(i.transform[:, :3]).T for i in scene.instances
@@ -179,32 +190,36 @@ def _host_shading(ds: DeviceScene | None, meta: SceneMeta, scene=None):
         me = np.zeros((k, 3), np.float32)
         mp0 = np.zeros(k, np.float32)
         mp1 = np.zeros(k, np.float32)
+        mtex = np.full(k, -1, np.float32)
         for j, m in enumerate(scene.materials):
             mk[j] = m.kind
             ma[j] = m.albedo
             me[j] = m.emission
             mp0[j] = m.param0
             mp1[j] = m.param1
+            mtex[j] = getattr(m, "base_color_texture", -1)
         return tn0, tn1, tn2, tmat, inst_nrm, inst_over, mk, ma, me, \
-            mp0, mp1
+            mp0, mp1, tuv, mtex
     import jax
 
     # D2H fallback — poisons axon dispatch; see _host_tris
     (tn0, tn1, tn2, tmat, inst_nrm, inst_over, mk, ma, me, mp0,
-     mp1) = jax.device_get(
+     mp1, uv0, uv1, uv2, mtex) = jax.device_get(
         (ds.tri_n0, ds.tri_n1, ds.tri_n2, ds.tri_mat, ds.inst_nrm,
          ds.inst_mat_override, ds.mat_kind, ds.mat_albedo,
-         ds.mat_emission, ds.mat_param0, ds.mat_param1)
+         ds.mat_emission, ds.mat_param0, ds.mat_param1,
+         ds.tri_uv0, ds.tri_uv1, ds.tri_uv2, ds.mat_texture)
     )
     return (tn0, tn1, tn2, tmat, inst_nrm, inst_over,
-            mk.astype(np.float32), ma, me, mp0, mp1)
+            mk.astype(np.float32), ma, me, mp0, mp1,
+            (uv0, uv1, uv2), mtex.astype(np.float32))
 
 
 def build_shade_rows(ds: DeviceScene, meta: SceneMeta, v0, v1, v2,
                      tri_id, inst_id, n_slots: int, scene=None):
     """(ceil(n_slots/4), 128) world-space shading records (SHADE_LANES)."""
     (tn0, tn1, tn2, tmat, inst_nrm, inst_over, mk, ma, me, mp0,
-     mp1) = _host_shading(ds, meta, scene)
+     mp1, tuv, mtex) = _host_shading(ds, meta, scene)
     t = tri_id.shape[0]
     nm = inst_nrm[inst_id]  # (t, 3, 3)
     xf = lambda n: np.einsum("tij,tj->ti", nm, n).astype(np.float32)
@@ -233,6 +248,11 @@ def build_shade_rows(ds: DeviceScene, meta: SceneMeta, v0, v1, v2,
     rec[:t, 19] = mp0[mid]
     rec[:t, 20] = mp1[mid]
     rec[:t, 21] = mid.astype(np.float32)
+    # lanes 22–28: per-corner UVs + base-color texture id (-1 = none)
+    rec[:t, 22:24] = tuv[0][tri_id]
+    rec[:t, 24:26] = tuv[1][tri_id]
+    rec[:t, 26:28] = tuv[2][tri_id]
+    rec[:t, 28] = mtex[mid]
     n_rows = -(-n_slots // 4)
     pad_rows = n_rows * 4 - n_slots
     if pad_rows:
@@ -292,7 +312,7 @@ def build_pair_accel_two_level(ds: DeviceScene, meta: SceneMeta,
     """Object-space per-mesh clusters + per-instance cluster instances."""
     tv0, tv1, tv2, inst_tf = _host_tris(ds, meta, scene)
     (tn0, tn1, tn2, tmat, inst_nrm, inst_over, mk, ma, me, mp0,
-     mp1) = _host_shading(ds, meta, scene)
+     mp1, tuv, mtex) = _host_shading(ds, meta, scene)
 
     # --- per-mesh (BLAS): morton-sort object tris, uniform clusters
     mesh_rows = []
@@ -402,6 +422,11 @@ def build_pair_accel_two_level(ds: DeviceScene, meta: SceneMeta,
     rec[:, 19] = mp0[mid]
     rec[:, 20] = mp1[mid]
     rec[:, 21] = mid.astype(np.float32)
+    # lanes 22-28: per-corner UVs + base-color texture id (-1 = none)
+    rec[:, 22:24] = tuv[0][gt]
+    rec[:, 24:26] = tuv[1][gt]
+    rec[:, 26:28] = tuv[2][gt]
+    rec[:, 28] = mtex[mid]
     pad_rows = (-n_slots) % 4
     if pad_rows:
         rec = np.concatenate(

@@ -49,6 +49,31 @@ class HitAttrs(NamedTuple):
     param1: jnp.ndarray  # (N,)
 
 
+def sample_base_color(tex_data, tex_meta, tex_id, tu, tv):
+    """Nearest-texel base-color fetch from the flattened texture pool.
+
+    ``tex_id`` < 0 (untextured) reads pool row 0, the white fallback —
+    branch-free so textured and untextured hits shade densely together.
+    REPEAT wrapping; glTF v-down convention (image row 0 = v 0). The
+    texel read is ONE row gather (texture sampling maps to the same
+    baked-row-gather discipline as shade records — XLA gathers cost
+    ~3.7 ns/element on the axon backend, so one (N, 3) fetch per hit)."""
+    n_tex = tex_meta.shape[0]
+    tid = jnp.clip(tex_id, 0, n_tex - 1)
+    meta = tex_meta[tid]  # (N, 4)
+    off = meta[:, 0].astype(jnp.int32)
+    w = jnp.maximum(meta[:, 1], 1.0)
+    h = jnp.maximum(meta[:, 2], 1.0)
+    fu = tu - jnp.floor(tu)
+    fv = tv - jnp.floor(tv)
+    tx = jnp.minimum((fu * w).astype(jnp.int32),
+                     w.astype(jnp.int32) - 1)
+    ty = jnp.minimum((fv * h).astype(jnp.int32),
+                     h.astype(jnp.int32) - 1)
+    idx = jnp.where(tex_id >= 0, off + ty * w.astype(jnp.int32) + tx, 0)
+    return tex_data[idx]
+
+
 def resolve_hit(ds: DeviceScene, org, dirn, t, u, v, tri, inst) -> HitAttrs:
     """Gather + interpolate surface attributes for hits (G3 attribute interp).
 
@@ -86,6 +111,15 @@ def resolve_hit(ds: DeviceScene, org, dirn, t, u, v, tri, inst) -> HitAttrs:
     override = ds.inst_mat_override[inst]
     mat_id = jnp.where(override >= 0, override, ds.tri_mat[tri])
     mat_id = jnp.clip(mat_id, 0, ds.mat_kind.shape[0] - 1)
+    uv = (
+        w[:, None] * ds.tri_uv0[tri]
+        + u[:, None] * ds.tri_uv1[tri]
+        + v[:, None] * ds.tri_uv2[tri]
+    )
+    tex = sample_base_color(
+        ds.tex_data, ds.tex_meta, ds.mat_texture[mat_id],
+        uv[:, 0], uv[:, 1],
+    )
     return HitAttrs(
         pos=pos,
         n_geom=n_geom,
@@ -93,14 +127,15 @@ def resolve_hit(ds: DeviceScene, org, dirn, t, u, v, tri, inst) -> HitAttrs:
         front_face=front_face,
         mat_id=mat_id,
         kind=ds.mat_kind[mat_id],
-        albedo=ds.mat_albedo[mat_id],
+        albedo=ds.mat_albedo[mat_id] * tex,
         emission=ds.mat_emission[mat_id],
         param0=ds.mat_param0[mat_id],
         param1=ds.mat_param1[mat_id],
     )
 
 
-def resolve_hit_packed(shade_rows, org, dirn, t, u, v, slot) -> HitAttrs:
+def resolve_hit_packed(shade_rows, org, dirn, t, u, v, slot,
+                       tex_data=None, tex_meta=None) -> HitAttrs:
     """Gather-lean twin of resolve_hit for cluster accels (PairAccel).
 
     ONE row gather from the baked world-space shade table replaces ~10
@@ -131,6 +166,17 @@ def resolve_hit_packed(shade_rows, org, dirn, t, u, v, slot) -> HitAttrs:
     n_shade = jnp.where(
         dot(n_shade, n_geom)[:, None] >= 0.0, n_shade, -n_shade
     )
+    albedo = rec[:, 13:16]
+    if tex_data is not None:
+        uvi = (
+            w[:, None] * rec[:, 22:24]
+            + u[:, None] * rec[:, 24:26]
+            + v[:, None] * rec[:, 26:28]
+        )
+        albedo = albedo * sample_base_color(
+            tex_data, tex_meta, rec[:, 28].astype(jnp.int32),
+            uvi[:, 0], uvi[:, 1],
+        )
     return HitAttrs(
         pos=pos,
         n_geom=n_geom,
@@ -138,7 +184,7 @@ def resolve_hit_packed(shade_rows, org, dirn, t, u, v, slot) -> HitAttrs:
         front_face=front_face,
         mat_id=rec[:, 21].astype(jnp.int32),
         kind=rec[:, 12].astype(jnp.int32),
-        albedo=rec[:, 13:16],
+        albedo=albedo,
         emission=rec[:, 16:19],
         param0=rec[:, 19],
         param1=rec[:, 20],
@@ -146,7 +192,8 @@ def resolve_hit_packed(shade_rows, org, dirn, t, u, v, slot) -> HitAttrs:
 
 
 def resolve_hit_packed_tl(shade_rows, inst_table, org, dirn, t, u, v,
-                          slot, inst) -> HitAttrs:
+                          slot, inst, tex_data=None,
+                          tex_meta=None) -> HitAttrs:
     """Two-level twin of resolve_hit_packed (PairAccelTL): the shade
     record is OBJECT space and shared across instances; the hit's
     instance id selects a normal matrix + optional material override
@@ -192,6 +239,21 @@ def resolve_hit_packed_tl(shade_rows, inst_table, org, dirn, t, u, v,
     )
     over = feats[:, 10:11] > 0.5
     sel = lambda a, b: jnp.where(over, a, b)
+    albedo = sel(feats[:, 12:15], rec[:, 13:16])
+    if tex_data is not None:
+        uvi = (
+            w[:, None] * rec[:, 22:24]
+            + u[:, None] * rec[:, 24:26]
+            + v[:, None] * rec[:, 26:28]
+        )
+        # a material override (no texture lane in the instance table)
+        # shades untextured — matches the flat-override semantics
+        tex_id = jnp.where(
+            over[:, 0], jnp.int32(-1), rec[:, 28].astype(jnp.int32)
+        )
+        albedo = albedo * sample_base_color(
+            tex_data, tex_meta, tex_id, uvi[:, 0], uvi[:, 1],
+        )
     return HitAttrs(
         pos=pos,
         n_geom=n_geom,
@@ -199,7 +261,7 @@ def resolve_hit_packed_tl(shade_rows, inst_table, org, dirn, t, u, v,
         front_face=front_face,
         mat_id=sel(feats[:, 20:21], rec[:, 21:22])[:, 0].astype(jnp.int32),
         kind=sel(feats[:, 11:12], rec[:, 12:13])[:, 0].astype(jnp.int32),
-        albedo=sel(feats[:, 12:15], rec[:, 13:16]),
+        albedo=albedo,
         emission=sel(feats[:, 15:18], rec[:, 16:19]),
         param0=sel(feats[:, 18:19], rec[:, 19:20])[:, 0],
         param1=sel(feats[:, 19:20], rec[:, 20:21])[:, 0],
@@ -216,12 +278,14 @@ def make_resolver(ds: DeviceScene, accel):
     if shade_rows is not None and inst_table is not None:
         def resolve(org, dirn, t, u, v, tri, inst, slot) -> HitAttrs:
             return resolve_hit_packed_tl(
-                shade_rows, inst_table, org, dirn, t, u, v, slot, inst
+                shade_rows, inst_table, org, dirn, t, u, v, slot, inst,
+                tex_data=ds.tex_data, tex_meta=ds.tex_meta,
             )
     elif shade_rows is not None:
         def resolve(org, dirn, t, u, v, tri, inst, slot) -> HitAttrs:
             return resolve_hit_packed(shade_rows, org, dirn, t, u, v,
-                                      slot)
+                                      slot, tex_data=ds.tex_data,
+                                      tex_meta=ds.tex_meta)
     else:
         def resolve(org, dirn, t, u, v, tri, inst, slot) -> HitAttrs:
             del slot

@@ -44,51 +44,62 @@ def write_png(path: str, image_u8: np.ndarray) -> None:
 
 
 def read_png(path: str) -> np.ndarray:
-    """Minimal PNG reader for our own files (8-bit RGB, filter 0/1/2/3/4).
+    """Minimal PNG reader (8-bit RGB/RGBA/gray, filter 0/1/2/3/4).
 
-    Used by golden-image tests to load stored goldens without PIL.
-    """
+    Used by golden-image tests to load stored goldens without PIL, and by
+    the glTF/OBJ loaders for base-color texture images. Always returns
+    (H, W, 3) uint8 (alpha dropped, gray broadcast)."""
     with open(path, "rb") as f:
-        data = f.read()
-    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        return decode_png(f.read())
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes → (H, W, 3) uint8 (see read_png)."""
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG stream"
     pos = 8
     idat = b""
-    w = h = None
+    w = h = color = None
     while pos < len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
-            w, h, depth, color = struct.unpack_from(">IIBB", payload)
-            assert depth == 8 and color == 2, "only 8-bit RGB supported"
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack_from(
+                ">IIBBBBB", payload
+            )
+            assert depth == 8, "only 8-bit PNGs supported"
+            assert color in (0, 2, 6), "only gray/RGB/RGBA supported"
+            assert interlace == 0, "interlaced PNGs unsupported"
         elif tag == b"IDAT":
             idat += payload
         pos += 12 + length
-    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, 3 * w + 1)
-    out = np.zeros((h, w * 3), np.int32)
-    bpp = 3
+    bpp = {0: 1, 2: 3, 6: 4}[color]
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(
+        h, bpp * w + 1
+    )
+    out = np.zeros((h, w * bpp), np.int32)
     for y in range(h):
         filt = raw[y, 0]
         line = raw[y, 1:].astype(np.int32)
-        prev = out[y - 1] if y > 0 else np.zeros(w * 3, np.int32)
+        prev = out[y - 1] if y > 0 else np.zeros(w * bpp, np.int32)
         if filt == 0:
             out[y] = line
         elif filt == 1:
             cur = line.copy()
-            for x in range(bpp, w * 3):
+            for x in range(bpp, w * bpp):
                 cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
             out[y] = cur
         elif filt == 2:
             out[y] = (line + prev) & 0xFF
         elif filt == 3:
             cur = line.copy()
-            for x in range(w * 3):
+            for x in range(w * bpp):
                 left = cur[x - bpp] if x >= bpp else 0
                 cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
             out[y] = cur
         elif filt == 4:
             cur = line.copy()
-            for x in range(w * 3):
+            for x in range(w * bpp):
                 a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
                 c = prev[x - bpp] if x >= bpp else 0
@@ -99,4 +110,19 @@ def read_png(path: str) -> np.ndarray:
             out[y] = cur
         else:
             raise ValueError(f"unsupported PNG filter {filt}")
-    return out.astype(np.uint8).reshape(h, w, 3)
+    img = out.astype(np.uint8).reshape(h, w, bpp)
+    if bpp == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif bpp == 4:
+        img = img[:, :, :3]
+    return np.ascontiguousarray(img)
+
+
+def srgb_to_linear(img_u8: np.ndarray) -> np.ndarray:
+    """sRGB-encoded uint8 image → linear-space (H, W, 3) float32
+    (textures are stored linear on device; the exact IEC 61966-2-1
+    transfer function, not the 2.2-gamma approximation)."""
+    c = img_u8.astype(np.float32) / 255.0
+    return np.where(
+        c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4
+    ).astype(np.float32)

@@ -52,6 +52,18 @@ class DeviceScene(NamedTuple):
     mat_emission: jnp.ndarray  # (K, 3) f32
     mat_param0: jnp.ndarray  # (K,) f32
     mat_param1: jnp.ndarray  # (K,) f32
+    mat_texture: jnp.ndarray  # (K,) i32 base-color texture id, -1 = none
+
+    # Texture coordinates per triangle corner (zeros when absent)
+    tri_uv0: jnp.ndarray  # (T, 2) f32
+    tri_uv1: jnp.ndarray  # (T, 2) f32
+    tri_uv2: jnp.ndarray  # (T, 2) f32
+
+    # Base-color texture pool: all images flattened row-major into one
+    # (P, 3) table (the texel gather is ONE row lookup: off + ty*W + tx);
+    # tex_meta rows are (row_offset, width, height, 0) as f32.
+    tex_data: jnp.ndarray  # (P, 3) f32, P >= 1
+    tex_meta: jnp.ndarray  # (Ntex, 4) f32, Ntex >= 1
 
     # Emissive triangles in world space (padded to >= 1)
     light_v0: jnp.ndarray  # (L, 3) f32
@@ -104,6 +116,7 @@ def to_device(scene: Scene, pad_to: int = 8) -> DeviceScene:
         raise ValueError("scene has no instances")
 
     v0s, v1s, v2s, n0s, n1s, n2s, mats = [], [], [], [], [], [], []
+    uv0s, uv1s, uv2s = [], [], []
     offsets = [0]
     for mesh in scene.meshes:
         v = mesh.vertices
@@ -115,6 +128,11 @@ def to_device(scene: Scene, pad_to: int = 8) -> DeviceScene:
         n0s.append(nrm[idx[:, 0]])
         n1s.append(nrm[idx[:, 1]])
         n2s.append(nrm[idx[:, 2]])
+        uv = (mesh.uvs if mesh.uvs is not None
+              else np.zeros((v.shape[0], 2), np.float32))
+        uv0s.append(uv[idx[:, 0]])
+        uv1s.append(uv[idx[:, 1]])
+        uv2s.append(uv[idx[:, 2]])
         mats.append(mesh.material_ids)
         offsets.append(offsets[-1] + mesh.num_triangles)
 
@@ -128,6 +146,11 @@ def to_device(scene: Scene, pad_to: int = 8) -> DeviceScene:
     tri_n1 = _pad_rows(cat(n1s).astype(np.float32), t_pad)
     tri_n2 = _pad_rows(cat(n2s).astype(np.float32), t_pad)
     tri_mat = _pad_rows(np.concatenate(mats).astype(np.int32), t_pad)
+    cat2 = lambda xs: (np.concatenate(xs, axis=0) if xs
+                       else np.zeros((0, 2), np.float32))
+    tri_uv0 = _pad_rows(cat2(uv0s).astype(np.float32), t_pad)
+    tri_uv1 = _pad_rows(cat2(uv1s).astype(np.float32), t_pad)
+    tri_uv2 = _pad_rows(cat2(uv2s).astype(np.float32), t_pad)
 
     inst_mesh = np.array([i.mesh_id for i in scene.instances], np.int32)
     inst_transform = np.stack([i.transform for i in scene.instances]).astype(np.float32)
@@ -145,12 +168,30 @@ def to_device(scene: Scene, pad_to: int = 8) -> DeviceScene:
     mat_emission = np.zeros((k, 3), np.float32)
     mat_param0 = np.zeros(k, np.float32)
     mat_param1 = np.zeros(k, np.float32)
+    mat_texture = np.full(k, -1, np.int32)
     for j, m in enumerate(scene.materials):
         mat_kind[j] = m.kind
         mat_albedo[j] = m.albedo
         mat_emission[j] = m.emission
         mat_param0[j] = m.param0
         mat_param1[j] = m.param1
+        mat_texture[j] = getattr(m, "base_color_texture", -1)
+
+    # Texture pool: flatten every (H, W, 3) image row-major into one
+    # (P, 3) table; meta rows carry (row_offset, W, H). Both padded to at
+    # least one row so shapes stay static for untextured scenes.
+    tex_rows = [np.zeros((1, 3), np.float32)]
+    tex_meta = []
+    off = 1  # row 0 is the white-fallback texel
+    tex_rows[0][0] = 1.0
+    for img in scene.textures:
+        h_i, w_i = img.shape[0], img.shape[1]
+        tex_rows.append(np.asarray(img, np.float32).reshape(-1, 3))
+        tex_meta.append([off, w_i, h_i, 0.0])
+        off += h_i * w_i
+    tex_data = np.concatenate(tex_rows, axis=0)
+    tex_meta = (np.asarray(tex_meta, np.float32) if tex_meta
+                else np.zeros((1, 4), np.float32))
 
     # Emissive triangles, expanded per instance into world space (NEE table).
     lv0, lv1, lv2, lem = [], [], [], []
@@ -210,6 +251,10 @@ def to_device(scene: Scene, pad_to: int = 8) -> DeviceScene:
         mat_emission=dev(mat_emission),
         mat_param0=dev(mat_param0),
         mat_param1=dev(mat_param1),
+        mat_texture=dev(mat_texture),
+        tri_uv0=dev(tri_uv0), tri_uv1=dev(tri_uv1), tri_uv2=dev(tri_uv2),
+        tex_data=dev(tex_data),
+        tex_meta=dev(tex_meta),
         light_v0=dev(light_v0), light_v1=dev(light_v1), light_v2=dev(light_v2),
         light_emission=dev(light_emission),
         light_area=dev(light_area),

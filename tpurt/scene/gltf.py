@@ -120,6 +120,37 @@ def _parse_glb(data: bytes):
     return doc, bin_chunk
 
 
+def _load_images(doc: dict, buffers: List[bytes], base_dir: str,
+                 scene: Scene) -> List[int]:
+    """glTF images → Scene.textures (PNG only — JPEG sources are skipped
+    with a white 1×1 stand-in). Returns image index → texture id."""
+    from tpurt.render.png import decode_png, srgb_to_linear
+
+    ids = []
+    for img in doc.get("images", []):
+        data = None
+        uri = img.get("uri")
+        if uri is not None:
+            if uri.startswith("data:"):
+                data = base64.b64decode(uri.split(",", 1)[1])
+            else:
+                p = os.path.join(base_dir, uri)
+                if os.path.exists(p):
+                    with open(p, "rb") as f:
+                        data = f.read()
+        elif "bufferView" in img:
+            view = doc["bufferViews"][img["bufferView"]]
+            start = view.get("byteOffset", 0)
+            data = buffers[view["buffer"]][
+                start:start + view["byteLength"]
+            ]
+        tex = np.ones((1, 1, 3), np.float32)
+        if data is not None and data[:8] == b"\x89PNG\r\n\x1a\n":
+            tex = srgb_to_linear(decode_png(data))
+        ids.append(scene.add_texture(tex))
+    return ids
+
+
 def _material_from_gltf(gm: dict) -> Material:
     # exact tpurt parameters, written by tpurt.scene.export (glTF
     # application-specific ``extras``) — lossless round trip
@@ -166,9 +197,24 @@ def load_gltf(path: str, scene: Optional[Scene] = None) -> Scene:
         doc, glb_bin = json.loads(raw), None
     buffers = _load_buffers(doc, base_dir, glb_bin)
 
+    image_tex_ids = _load_images(doc, buffers, base_dir, scene)
+
+    def _texture_id(tex_index: int) -> int:
+        textures = doc.get("textures", [])
+        if not (0 <= tex_index < len(textures)):
+            return -1
+        src = textures[tex_index].get("source", -1)
+        if not (0 <= src < len(image_tex_ids)):
+            return -1
+        return image_tex_ids[src]
+
     mat_ids = []
     for gm in doc.get("materials", []):
-        mat_ids.append(scene.add_material(_material_from_gltf(gm)))
+        mat = _material_from_gltf(gm)
+        bct = gm.get("pbrMetallicRoughness", {}).get("baseColorTexture")
+        if bct is not None:
+            mat.base_color_texture = _texture_id(bct.get("index", -1))
+        mat_ids.append(scene.add_material(mat))
     default_mat = scene.add_material(Material(name="gltf_default"))
 
     # mesh → list of (tpurt mesh id) one per primitive
@@ -183,6 +229,18 @@ def load_gltf(path: str, scene: Optional[Scene] = None) -> Scene:
             nrm = None
             if "NORMAL" in attrs:
                 nrm = _read_accessor(doc, buffers, attrs["NORMAL"]).astype(np.float32)
+            uv = None
+            if "TEXCOORD_0" in attrs:
+                acc = doc["accessors"][attrs["TEXCOORD_0"]]
+                uv = _read_accessor(
+                    doc, buffers, attrs["TEXCOORD_0"]
+                ).astype(np.float32)
+                # normalized integer texcoords (glTF 2.0 §3.6.2.2)
+                comp = acc["componentType"]
+                if comp == 5121:
+                    uv = uv / 255.0
+                elif comp == 5123:
+                    uv = uv / 65535.0
             if "indices" in prim:
                 idx = _read_accessor(doc, buffers, prim["indices"]).reshape(-1)
             else:
@@ -193,7 +251,7 @@ def load_gltf(path: str, scene: Optional[Scene] = None) -> Scene:
                 if "material" in prim and prim["material"] < len(mat_ids)
                 else default_mat
             )
-            mesh = Mesh(pos, idx, mat, normals=nrm,
+            mesh = Mesh(pos, idx, mat, normals=nrm, uvs=uv,
                         name=f"{gm.get('name', f'mesh{mi}')}/p{pi}")
             ids.append(scene.add_mesh(mesh))
         prim_mesh_ids[mi] = ids

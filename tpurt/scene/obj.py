@@ -47,6 +47,10 @@ def parse_mtl(path: str) -> Dict[str, Material]:
                 continue
             elif key == "Kd":
                 cur.albedo = tuple(float(x) for x in tok[1:4])
+            elif key == "map_Kd" and len(tok) > 1:
+                # base-color texture file (options ignored; last token is
+                # the path). Resolved relative to the MTL file by load_obj.
+                cur.map_kd = os.path.join(os.path.dirname(path), tok[-1])
             elif key == "Ke":
                 cur.emission = tuple(float(x) for x in tok[1:4])
             elif key == "Ns":
@@ -97,16 +101,22 @@ def _parse_tpurt_headers(path: str, scene: Scene) -> None:
         pass
 
 
-def _parse_face_vert(token: str, nv: int, nn: int) -> Tuple[int, int]:
-    """'v', 'v/vt', 'v//vn', 'v/vt/vn' → (vertex idx, normal idx or -1)."""
+def _parse_face_vert(token: str, nv: int, nt: int,
+                     nn: int) -> Tuple[int, int, int]:
+    """'v', 'v/vt', 'v//vn', 'v/vt/vn' → (vertex, texcoord, normal)
+    indices; -1 marks an absent texcoord/normal."""
     parts = token.split("/")
     vi = int(parts[0])
     vi = vi - 1 if vi > 0 else nv + vi
+    ti = -1
+    if len(parts) >= 2 and parts[1]:
+        ti = int(parts[1])
+        ti = ti - 1 if ti > 0 else nt + ti
     ni = -1
     if len(parts) == 3 and parts[2]:
         ni = int(parts[2])
         ni = ni - 1 if ni > 0 else nn + ni
-    return vi, ni
+    return vi, ti, ni
 
 
 def load_obj(path: str, scene: Optional[Scene] = None,
@@ -131,12 +141,15 @@ def load_obj(path: str, scene: Optional[Scene] = None,
     parsed = native.obj_parse(path)
     if parsed is not None:
         verts_np, normals_np, tri_v, tri_n, face_slot, names, mtllib = parsed
-        if tri_v.shape[0] == 0:
-            raise ValueError(f"OBJ {path!r} contains no faces")
         mtl = (
             parse_mtl(os.path.join(os.path.dirname(path), mtllib))
             if mtllib else {}
         )
+        if any(getattr(m, "map_kd", None) for m in mtl.values()):
+            parsed = None  # textured: needs vt — the Python path below
+    if parsed is not None:
+        if tri_v.shape[0] == 0:
+            raise ValueError(f"OBJ {path!r} contains no faces")
         slot_to_mat = np.asarray(
             [scene.add_material(mtl.get(n, Material(name=n)))
              for n in names] + [cur_mat],
@@ -145,22 +158,39 @@ def load_obj(path: str, scene: Optional[Scene] = None,
         face_mats_arr = slot_to_mat[
             np.where(face_slot >= 0, face_slot, len(names))
         ]
+        zeros = np.full(tri_v.size, -1, np.int64)
         corner_arr = np.stack(
-            [tri_v.reshape(-1).astype(np.int64),
+            [tri_v.reshape(-1).astype(np.int64), zeros,
              tri_n.reshape(-1).astype(np.int64)], axis=1
         )
         return _finish_obj(
             scene, path, verts_np,
             normals_np if normals_np.shape[0] else None,
-            corner_arr, face_mats_arr,
+            None, corner_arr, face_mats_arr,
         )
 
     positions: List[List[float]] = []
+    texcoords: List[List[float]] = []
     normals: List[List[float]] = []
-    # corner stream: (vi, ni) and per-face material id
-    corners: List[Tuple[int, int]] = []
+    # corner stream: (vi, ti, ni) and per-face material id
+    corners: List[Tuple[int, int, int]] = []
     face_mats: List[int] = []
     mat_lookup: Dict[str, int] = {}
+
+    def _add_material(name: str, mat: Material) -> int:
+        # load map_Kd lazily, once per material, sharing texture ids
+        kd = getattr(mat, "map_kd", None)
+        if kd and mat.base_color_texture < 0 and os.path.exists(kd):
+            from tpurt.render.png import decode_png, srgb_to_linear
+
+            try:
+                with open(kd, "rb") as tf:
+                    mat.base_color_texture = scene.add_texture(
+                        srgb_to_linear(decode_png(tf.read()))
+                    )
+            except (AssertionError, ValueError):
+                pass  # non-PNG map: shade untextured
+        return scene.add_material(mat)
 
     mtl: Dict[str, Material] = {}
     with open(path, "r", errors="replace") as f:
@@ -171,6 +201,9 @@ def load_obj(path: str, scene: Optional[Scene] = None,
             key = tok[0]
             if key == "v":
                 positions.append([float(x) for x in tok[1:4]])
+            elif key == "vt":
+                # OBJ v runs bottom-up; device convention is v-down (glTF)
+                texcoords.append([float(tok[1]), 1.0 - float(tok[2])])
             elif key == "vn":
                 normals.append([float(x) for x in tok[1:4]])
             elif key == "mtllib" and len(tok) > 1:
@@ -180,13 +213,13 @@ def load_obj(path: str, scene: Optional[Scene] = None,
             elif key == "usemtl" and len(tok) > 1:
                 name = tok[1]
                 if name not in mat_lookup:
-                    mat_lookup[name] = scene.add_material(
-                        mtl.get(name, Material(name=name))
+                    mat_lookup[name] = _add_material(
+                        name, mtl.get(name, Material(name=name))
                     )
                 cur_mat = mat_lookup[name]
             elif key == "f":
-                nv, nn = len(positions), len(normals)
-                fv = [_parse_face_vert(t, nv, nn) for t in tok[1:]]
+                nv, nt, nn = len(positions), len(texcoords), len(normals)
+                fv = [_parse_face_vert(t, nv, nt, nn) for t in tok[1:]]
                 for k in range(1, len(fv) - 1):  # fan triangulation
                     corners += [fv[0], fv[k], fv[k + 1]]
                     face_mats.append(cur_mat)
@@ -195,24 +228,32 @@ def load_obj(path: str, scene: Optional[Scene] = None,
         raise ValueError(f"OBJ {path!r} contains no faces")
 
     pos = np.asarray(positions, np.float32)
+    uv = np.asarray(texcoords, np.float32) if texcoords else None
     nrm = np.asarray(normals, np.float32) if normals else None
     return _finish_obj(
-        scene, path, pos, nrm, np.asarray(corners, np.int64),
+        scene, path, pos, nrm, uv, np.asarray(corners, np.int64),
         np.asarray(face_mats, np.int32),
     )
 
 
 def _finish_obj(scene: Scene, path: str, pos: np.ndarray,
-                nrm: Optional[np.ndarray], corner_arr: np.ndarray,
+                nrm: Optional[np.ndarray], uv: Optional[np.ndarray],
+                corner_arr: np.ndarray,
                 face_mats: np.ndarray) -> Scene:
     """Shared tail: flatten dual indexing, register mesh + instance."""
-    # Flatten dual indexing: unique (vi, ni) pairs become vertices.
+    # Flatten OBJ's triple indexing: unique (vi, ti, ni) become vertices.
     uniq, inverse = np.unique(corner_arr, axis=0, return_inverse=True)
     verts = pos[uniq[:, 0]]
     indices = inverse.reshape(-1, 3).astype(np.int32)
+    out_uvs = None
+    if uv is not None and (uniq[:, 1] >= 0).any():
+        out_uvs = np.where(
+            (uniq[:, 1] >= 0)[:, None],
+            uv[np.maximum(uniq[:, 1], 0)], 0.0
+        ).astype(np.float32)
     out_normals = None
-    if nrm is not None and (uniq[:, 1] >= 0).all():
-        out_normals = nrm[uniq[:, 1]]
+    if nrm is not None and (uniq[:, 2] >= 0).all():
+        out_normals = nrm[uniq[:, 2]]
         ln = np.linalg.norm(out_normals, axis=1, keepdims=True)
         out_normals = (out_normals / np.maximum(ln, 1e-20)).astype(np.float32)
 
@@ -221,6 +262,7 @@ def _finish_obj(scene: Scene, path: str, pos: np.ndarray,
         indices,
         np.asarray(face_mats, np.int32),
         normals=out_normals,
+        uvs=out_uvs,
         name=os.path.basename(path),
     )
     mid = scene.add_mesh(mesh)
@@ -234,13 +276,26 @@ def save_obj(path: str, mesh: Mesh) -> None:
         f.write(f"# tpurt OBJ export: {mesh.name}\n")
         for v in mesh.vertices:
             f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        has_uv = mesh.uvs is not None
+        if has_uv:
+            for t in mesh.uvs:
+                # device convention is v-down; OBJ vt runs bottom-up
+                f.write(f"vt {t[0]} {1.0 - t[1]}\n")
         if mesh.normals is not None:
             for n in mesh.normals:
                 f.write(f"vn {n[0]} {n[1]} {n[2]}\n")
             for t in mesh.indices:
-                f.write(
-                    f"f {t[0]+1}//{t[0]+1} {t[1]+1}//{t[1]+1} {t[2]+1}//{t[2]+1}\n"
-                )
+                c = [t[0] + 1, t[1] + 1, t[2] + 1]
+                if has_uv:
+                    f.write(f"f {c[0]}/{c[0]}/{c[0]} {c[1]}/{c[1]}/{c[1]}"
+                            f" {c[2]}/{c[2]}/{c[2]}\n")
+                else:
+                    f.write(f"f {c[0]}//{c[0]} {c[1]}//{c[1]}"
+                            f" {c[2]}//{c[2]}\n")
+        elif has_uv:
+            for t in mesh.indices:
+                c = [t[0] + 1, t[1] + 1, t[2] + 1]
+                f.write(f"f {c[0]}/{c[0]} {c[1]}/{c[1]} {c[2]}/{c[2]}\n")
         else:
             for t in mesh.indices:
                 f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")

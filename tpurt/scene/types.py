@@ -49,6 +49,10 @@ class Material:
     emission: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     param0: float = 0.0
     param1: float = 0.0
+    # Base-color texture (index into Scene.textures, -1 = none). Sampled
+    # at the interpolated UV and MULTIPLIED into albedo — the glTF 2.0
+    # baseColorTexture x baseColorFactor convention.
+    base_color_texture: int = -1
     name: str = ""
 
     def is_emissive(self) -> bool:
@@ -65,6 +69,7 @@ class Mesh:
     indices: np.ndarray  # (T, 3) i32
     material_ids: np.ndarray  # (T,) i32
     normals: Optional[np.ndarray] = None  # (V, 3) f32, optional shading normals
+    uvs: Optional[np.ndarray] = None  # (V, 2) f32 texture coordinates
     name: str = ""
 
     def __post_init__(self):
@@ -76,6 +81,9 @@ class Mesh:
         self.material_ids = mat
         if self.normals is not None:
             self.normals = np.ascontiguousarray(self.normals, np.float32)
+        if self.uvs is not None:
+            self.uvs = np.ascontiguousarray(self.uvs, np.float32)
+            assert self.uvs.shape == (self.vertices.shape[0], 2)
         assert self.vertices.ndim == 2 and self.vertices.shape[1] == 3
         assert self.indices.ndim == 2 and self.indices.shape[1] == 3
         assert self.material_ids.shape == (self.indices.shape[0],)
@@ -139,7 +147,16 @@ class Scene:
     instances: List[Instance] = dataclasses.field(default_factory=list)
     camera: Optional[Camera] = None
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # Base-color textures: (H, W, 3) f32 LINEAR-space arrays, indexed by
+    # Material.base_color_texture (loaders convert sRGB PNGs on decode).
+    textures: List[np.ndarray] = dataclasses.field(default_factory=list)
     name: str = ""
+
+    def add_texture(self, image: np.ndarray) -> int:
+        img = np.ascontiguousarray(image, np.float32)
+        assert img.ndim == 3 and img.shape[2] == 3, "textures are (H, W, 3)"
+        self.textures.append(img)
+        return len(self.textures) - 1
 
     def add_mesh(self, mesh: Mesh) -> int:
         self.meshes.append(mesh)
@@ -173,3 +190,9 @@ class Scene:
                 raise ValueError(f"instance {inst.name!r}: bad mesh id")
             if inst.material_override >= n_mat:
                 raise ValueError(f"instance {inst.name!r}: bad material override")
+        n_tex = len(self.textures)
+        for mat in self.materials:
+            if mat.base_color_texture >= n_tex:
+                raise ValueError(
+                    f"material {mat.name!r}: texture id out of range"
+                )

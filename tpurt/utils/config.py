@@ -19,9 +19,12 @@ class RenderConfig:
     spp: int = 64  # total samples per pixel (progressive)
     spp_per_batch: int = 4  # samples folded inside one jitted batch
     # cap on rays per jitted batch: samples are flattened into the ray
-    # axis, so width·height·spp_per_batch is clamped to this (HLO temps
-    # scale with the flattened ray count — 2M-ray batches OOM a v5e)
-    max_rays_per_batch: int = 1 << 20
+    # axis, so width·height·spp_per_batch is clamped to this. Bigger
+    # batches amortize per-trace sort/mask machinery and dispatch:
+    # bunny 800×600 measured 8.0 → 10.6 Mrays/s going 2 → 8 spp/batch
+    # on v5e (staged pipeline; the round-1 megakernel OOM'd at 2M rays,
+    # the staged pipeline runs 4M-ray batches fine)
+    max_rays_per_batch: int = 4 << 20
     max_bounces: int = 4  # 0 = primary rays only
     use_nee: bool = True  # next-event estimation (shadow rays)
     shading_mode: str = "full"  # "full" | "flat" (hello-triangle)
@@ -112,7 +115,7 @@ PRESETS = {
         max_bounces=0, use_nee=True, intersector="auto",
     ),
     "bunny": RenderConfig(
-        scene="bunny", width=800, height=600, spp=16, spp_per_batch=4,
+        scene="bunny", width=800, height=600, spp=16, spp_per_batch=8,
         max_bounces=2, use_nee=True, intersector="auto",
     ),
     "cornell_pt": RenderConfig(
