@@ -63,7 +63,9 @@ def main():
                 name = pv.decode("utf-8", "replace")
             elif pfn == 3 and pwt == 2:
                 line_bufs.append(pv)
-            elif pfn == 11 and pwt == 2:
+            elif pfn in (4, 11) and pwt == 2:
+                # event_metadata map entry: field 11 (tsl schema) or
+                # field 4 (the jax 0.9 wheel's embedded schema)
                 k = None
                 mname = ""
                 for efn, ewt, ev in fields(pv):
@@ -81,7 +83,9 @@ def main():
         counts = {}
         for lb in line_bufs:
             for lfn, lwt, lv in fields(lb):
-                if lfn != 6 or lwt != 2:
+                # XLine.events has been seen as field 6 (tsl schema) and
+                # field 4 (the jax 0.9 wheel's embedded schema) — accept both
+                if lfn not in (4, 6) or lwt != 2:
                     continue
                 mid = dur = 0
                 for efn, ewt, ev in fields(lv):

@@ -151,6 +151,24 @@ def pack_tri_rows(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     return tri_rows, pmin, pmax
 
 
+def _pack_cluster_box_lanes(tri_rows: np.ndarray, lo: np.ndarray,
+                            hi: np.ndarray) -> None:
+    """Stuff each cluster's own AABB into the last free spare lanes of
+    its first three rows (lanes 126–127; 120–125 hold the per-row
+    sub-boxes): row0 → (lox, loy), row1 → (loz, hix), row2 → (hiy, hiz).
+    The kernel slab-tests this box (far-limited by the tile's current
+    best t) ONCE per pair and skips all 8 per-row box tests when no lane
+    can reach the cluster — on divergent waves over half the
+    conservatively-matched pairs fail exactly here (measured: frustum
+    302 vs exact-ANY 139 clusters/tile on the bunny bounce wave)."""
+    n_c = lo.shape[0]
+    box = np.concatenate([lo, hi], axis=1).astype(np.float32)  # (C, 6)
+    rows = tri_rows.reshape(n_c, ROWS_PER_CLUSTER, 128)
+    rows[:, 0, 126:128] = box[:, 0:2]
+    rows[:, 1, 126:128] = box[:, 2:4]
+    rows[:, 2, 126:128] = box[:, 4:6]
+
+
 def _host_shading(ds: DeviceScene | None, meta: SceneMeta, scene=None):
     """Host-side per-global-tri (n0, n1, n2, mat_id), per-inst (normal
     matrix, material override), and material tables."""
@@ -347,10 +365,11 @@ def build_pair_accel_two_level(ds: DeviceScene, meta: SceneMeta,
         row_hi = pmax.reshape(n_rows, TPR, 3).max(1)
         rows[:, 120:123] = row_lo.astype(np.float32)
         rows[:, 123:126] = row_hi.astype(np.float32)
-        mesh_rows.append(rows)
-        mesh_cluster_base.append(n_rows_total)
         clo = pmin.reshape(n_c, TRIS_PER_CLUSTER, 3).min(1)
         chi = pmax.reshape(n_c, TRIS_PER_CLUSTER, 3).max(1)
+        _pack_cluster_box_lanes(rows, clo, chi)
+        mesh_rows.append(rows)
+        mesh_cluster_base.append(n_rows_total)
         mesh_cluster_boxes.append(
             np.stack([clo, chi], axis=1).astype(np.float32)
         )
@@ -488,6 +507,7 @@ def build_pair_accel(ds: DeviceScene, meta: SceneMeta,
     row_hi = pmax.reshape(n_rows, TPR, 3).max(1)
     tri_rows[:, 120:123] = row_lo.astype(np.float32)
     tri_rows[:, 123:126] = row_hi.astype(np.float32)
+    _pack_cluster_box_lanes(tri_rows, lo, hi)
 
     shade_rows = build_shade_rows(
         ds, meta, v0, v1, v2, tri_id, inst_id, n_slots=t, scene=scene

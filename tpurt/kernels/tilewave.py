@@ -876,7 +876,7 @@ def _tileloop_kernel(
         def _():
             cluster_dma(jax.lax.rem(s, 2), pc_ref[s] & 0xFFFF).start()
 
-    def body(p, carry):
+    def pair_body(p):
         v = pc_ref[p]
         c = v & 0xFFFF
         if smem_tri:
@@ -906,31 +906,67 @@ def _tileloop_kernel(
                 inst_f = (pm_ref[jnp.maximum(c, 0)]
                           >> INST_SHIFT).astype(jnp.float32)
             if smem_tri:
-                for r in range(ROWS_PER_CLUSTER):
-                    bt_r = out_ref[0:SUB, :]
-                    tn, tf = _row_box_interval(
-                        sm_ref, slot, r, ox, oy, oz, ivx, ivy, ivz, bt_r
-                    )
+                # Per-pair EXACT cluster pre-test: the cluster's own box
+                # rides in spare lanes 126–127 of SMEM rows 0–2
+                # (paircluster._pack_cluster_box_lanes); one ~26-op slab
+                # test (best-t far-limited) decides whether ANY lane can
+                # still reach the cluster — on divergent waves over half
+                # the frustum-matched pairs die here, skipping all 8
+                # per-row box tests.
+                bt0 = out_ref[0:SUB, :]
+                clox = sm_ref[slot, 0, 126]
+                cloy = sm_ref[slot, 0, 127]
+                cloz = sm_ref[slot, 1, 126]
+                chix = sm_ref[slot, 1, 127]
+                chiy = sm_ref[slot, 2, 126]
+                chiz = sm_ref[slot, 2, 127]
+                t0x = (clox - ox) * ivx
+                t1x = (chix - ox) * ivx
+                t0y = (cloy - oy) * ivy
+                t1y = (chiy - oy) * ivy
+                t0z = (cloz - oz) * ivz
+                t1z = (chiz - oz) * ivz
+                ctn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+                )
+                ctf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), bt0),
+                )
 
-                    @pl.when(jnp.any(tn <= tf))
-                    def _(r=r):
-                        cand = []
-                        _row_candidates_smem(
-                            sm_ref, slot, r, ox, oy, oz, dx, dy, dz, cand
+                @pl.when(jnp.any(ctn <= ctf))
+                def _():
+                    for r in range(ROWS_PER_CLUSTER):
+                        bt_r = out_ref[0:SUB, :]
+                        tn, tf = _row_box_interval(
+                            sm_ref, slot, r, ox, oy, oz, ivx, ivy, ivz,
+                            bt_r
                         )
-                        tr, ur, vr, sr = _fold_candidates(cand)
-                        bt = out_ref[0:SUB, :]
-                        win = tr < bt
-                        out_ref[0:SUB, :] = jnp.where(win, tr, bt)
-                        out_ref[SUB:2 * SUB, :] = jnp.where(
-                            win, ur, out_ref[SUB:2 * SUB, :])
-                        out_ref[2 * SUB:3 * SUB, :] = jnp.where(
-                            win, vr, out_ref[2 * SUB:3 * SUB, :])
-                        out_ref[3 * SUB:4 * SUB, :] = jnp.where(
-                            win, sr, out_ref[3 * SUB:4 * SUB, :])
-                        if two_level:
-                            out_ref[4 * SUB:5 * SUB, :] = jnp.where(
-                                win, inst_f, out_ref[4 * SUB:5 * SUB, :])
+
+                        @pl.when(jnp.any(tn <= tf))
+                        def _(r=r):
+                            cand = []
+                            _row_candidates_smem(
+                                sm_ref, slot, r, ox, oy, oz, dx, dy, dz,
+                                cand
+                            )
+                            tr, ur, vr, sr = _fold_candidates(cand)
+                            bt = out_ref[0:SUB, :]
+                            win = tr < bt
+                            out_ref[0:SUB, :] = jnp.where(win, tr, bt)
+                            out_ref[SUB:2 * SUB, :] = jnp.where(
+                                win, ur, out_ref[SUB:2 * SUB, :])
+                            out_ref[2 * SUB:3 * SUB, :] = jnp.where(
+                                win, vr, out_ref[2 * SUB:3 * SUB, :])
+                            out_ref[3 * SUB:4 * SUB, :] = jnp.where(
+                                win, sr, out_ref[3 * SUB:4 * SUB, :])
+                            if two_level:
+                                out_ref[4 * SUB:5 * SUB, :] = jnp.where(
+                                    win, inst_f,
+                                    out_ref[4 * SUB:5 * SUB, :])
             else:
                 # interpret/no-SMEM flavor: compact fori over rows with
                 # vector lane extracts (CPU tests keep small jaxprs)
@@ -962,9 +998,24 @@ def _tileloop_kernel(
                     out_ref[4 * SUB:5 * SUB, :] = jnp.where(
                         win, inst_f, out_ref[4 * SUB:5 * SUB, :])
 
+    # Manually 2×-unrolled pair loop: the dynamic-bound fori lowers to a
+    # Mosaic while loop whose per-iteration condition/branch machinery
+    # measured ~250 ns — a third of the per-pair budget on bounce waves.
+    # Processing two pairs per iteration halves it; the second half is
+    # guarded (segments can be odd). DMA slots alternate by PAIR index
+    # (rem(p, 2)) so the double-buffer chain is identical to the
+    # one-pair-per-iteration form.
+    def body(j, carry):
+        p = s + 2 * j
+        pair_body(p)
+
+        @pl.when(p + 1 < e)
+        def _():
+            pair_body(p + 1)
+
         return carry
 
-    jax.lax.fori_loop(s, e, body, 0)
+    jax.lax.fori_loop(0, (e - s + 1) // 2, body, 0)
 
 
 # scenes with at most this many clusters take the static all-pairs path
