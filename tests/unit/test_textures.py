@@ -115,3 +115,46 @@ def test_albedo_factor_multiplies_texture():
     np.testing.assert_allclose(
         img[16, 16], [0.25, 0.5, 1.0], atol=1e-3
     )
+
+
+def test_bilinear_sampler_analytic():
+    """LINEAR filtering: exact interpolation between texel centers of a
+    1x2 black/white texture, clamped at centers' outer halves (REPEAT
+    wraps the edges toward the opposite texel)."""
+    scene = textured_quad_scene(
+        tex=np.array([[[0, 0, 0], [1, 1, 1]]], np.float32)  # (1, 2, 3)
+    )
+    ds = to_device(scene)
+    tid = jnp.zeros(5, jnp.int32)
+    # texel centers at u = 0.25 (black) and 0.75 (white)
+    tu = jnp.asarray([0.25, 0.75, 0.5, 0.375, 0.625])
+    tv = jnp.full(5, 0.5)
+    got = np.asarray(materials.sample_base_color(
+        ds.tex_data, ds.tex_meta, tid, tu, tv, bilinear=True
+    ))[:, 0]
+    np.testing.assert_allclose(got, [0.0, 1.0, 0.5, 0.25, 0.75], atol=1e-6)
+
+
+def test_bilinear_render_smoke():
+    """Bilinear filter through the packed resolver: the checkerboard
+    quad's quadrant centers keep their colors; edges blend."""
+    cfg = get_config(
+        "cornell", width=64, height=64, spp=1, max_bounces=0,
+        shading_mode="flat", intersector="bvh_tile",
+        texture_filter="bilinear",
+    )
+    state, _ = render_scene(cfg, scene=textured_quad_scene())
+    img = np.asarray(fb.resolve(state))
+    h, w = img.shape[:2]
+    probe = lambda fx, fy: img[int(fy * h), int(fx * w)]
+    # texel centers of the 2x2 texture sit at quad uv 0.25/0.75, which
+    # the camera (45° vfov at distance 1.75 → frame spans 1.45 world
+    # units) maps to image fraction 0.5 + (uv − 0.5)/1.45
+    fx = lambda uv: 0.5 + (uv - 0.5) / 1.45
+    np.testing.assert_allclose(
+        probe(fx(0.25), fx(0.75)), [1, 0, 0], atol=8e-2)
+    np.testing.assert_allclose(
+        probe(fx(0.75), fx(0.25)), [1, 1, 1], atol=8e-2)
+    # the quad center blends all four texels toward the average
+    center = probe(0.5, 0.5)
+    assert 0.15 < center[0] < 0.85 and 0.15 < center[1] < 0.85

@@ -42,6 +42,9 @@ def _add_config_overrides(ap: argparse.ArgumentParser) -> None:
                     help="X2 sample-parallel axis size")
     ap.add_argument("--tile-shards", type=int, dest="n_tile_shards",
                     help="X1 tile-parallel axis size")
+    ap.add_argument("--texture-filter", dest="texture_filter",
+                    choices=["nearest", "bilinear"],
+                    help="base-color sampling (bilinear = glTF LINEAR)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
 
 
@@ -51,7 +54,7 @@ def _build_config(args):
     overrides = {}
     for field in ("width", "height", "spp", "spp_per_batch", "max_bounces",
                   "seed", "exposure", "intersector", "pipeline",
-                  "n_sample_shards", "n_tile_shards"):
+                  "n_sample_shards", "n_tile_shards", "texture_filter"):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v

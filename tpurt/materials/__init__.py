@@ -49,32 +49,62 @@ class HitAttrs(NamedTuple):
     param1: jnp.ndarray  # (N,)
 
 
-def sample_base_color(tex_data, tex_meta, tex_id, tu, tv):
-    """Nearest-texel base-color fetch from the flattened texture pool.
+def sample_base_color(tex_data, tex_meta, tex_id, tu, tv,
+                      bilinear: bool = False):
+    """Base-color fetch from the flattened texture pool.
 
     ``tex_id`` < 0 (untextured) reads pool row 0, the white fallback —
     branch-free so textured and untextured hits shade densely together.
     REPEAT wrapping; glTF v-down convention (image row 0 = v 0). The
-    texel read is ONE row gather (texture sampling maps to the same
-    baked-row-gather discipline as shade records — XLA gathers cost
-    ~3.7 ns/element on the axon backend, so one (N, 3) fetch per hit)."""
+    nearest-mode texel read is ONE row gather (texture sampling maps to
+    the same baked-row-gather discipline as shade records — XLA gathers
+    cost ~3.7 ns/element on the axon backend, so one (N, 3) fetch per
+    hit). ``bilinear`` (glTF's default LINEAR filter) averages the four
+    surrounding texels at half-texel-centered coordinates — 4 row
+    gathers per hit, so it is opt-in (RenderConfig.texture_filter)."""
     n_tex = tex_meta.shape[0]
     tid = jnp.clip(tex_id, 0, n_tex - 1)
     meta = tex_meta[tid]  # (N, 4)
     off = meta[:, 0].astype(jnp.int32)
     w = jnp.maximum(meta[:, 1], 1.0)
     h = jnp.maximum(meta[:, 2], 1.0)
+    wi = w.astype(jnp.int32)
+    hi = h.astype(jnp.int32)
     fu = tu - jnp.floor(tu)
     fv = tv - jnp.floor(tv)
-    tx = jnp.minimum((fu * w).astype(jnp.int32),
-                     w.astype(jnp.int32) - 1)
-    ty = jnp.minimum((fv * h).astype(jnp.int32),
-                     h.astype(jnp.int32) - 1)
-    idx = jnp.where(tex_id >= 0, off + ty * w.astype(jnp.int32) + tx, 0)
-    return tex_data[idx]
+    if not bilinear:
+        tx = jnp.minimum((fu * w).astype(jnp.int32), wi - 1)
+        ty = jnp.minimum((fv * h).astype(jnp.int32), hi - 1)
+        idx = jnp.where(tex_id >= 0, off + ty * wi + tx, 0)
+        return tex_data[idx]
+    # texel centers at (i + 0.5) / w: sample point in texel units
+    px = fu * w - 0.5
+    py = fv * h - 0.5
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    ax = (px - x0f)[:, None]
+    ay = (py - y0f)[:, None]
+
+    def fetch(xf, yf):
+        # REPEAT wrap per axis (wrap once is enough: xf ∈ [-1, w])
+        x = jnp.where(xf < 0, xf + w, jnp.where(xf >= w, xf - w, xf))
+        y = jnp.where(yf < 0, yf + h, jnp.where(yf >= h, yf - h, yf))
+        x = jnp.clip(x.astype(jnp.int32), 0, wi - 1)
+        y = jnp.clip(y.astype(jnp.int32), 0, hi - 1)
+        idx = jnp.where(tex_id >= 0, off + y * wi + x, 0)
+        return tex_data[idx]
+
+    c00 = fetch(x0f, y0f)
+    c10 = fetch(x0f + 1.0, y0f)
+    c01 = fetch(x0f, y0f + 1.0)
+    c11 = fetch(x0f + 1.0, y0f + 1.0)
+    top = c00 * (1.0 - ax) + c10 * ax
+    bot = c01 * (1.0 - ax) + c11 * ax
+    return top * (1.0 - ay) + bot * ay
 
 
-def resolve_hit(ds: DeviceScene, org, dirn, t, u, v, tri, inst) -> HitAttrs:
+def resolve_hit(ds: DeviceScene, org, dirn, t, u, v, tri, inst,
+                bilinear: bool = False) -> HitAttrs:
     """Gather + interpolate surface attributes for hits (G3 attribute interp).
 
     Misses may pass arbitrary (clamped) indices; callers gate on the hit mask.
@@ -111,15 +141,19 @@ def resolve_hit(ds: DeviceScene, org, dirn, t, u, v, tri, inst) -> HitAttrs:
     override = ds.inst_mat_override[inst]
     mat_id = jnp.where(override >= 0, override, ds.tri_mat[tri])
     mat_id = jnp.clip(mat_id, 0, ds.mat_kind.shape[0] - 1)
-    uv = (
-        w[:, None] * ds.tri_uv0[tri]
-        + u[:, None] * ds.tri_uv1[tri]
-        + v[:, None] * ds.tri_uv2[tri]
-    )
-    tex = sample_base_color(
-        ds.tex_data, ds.tex_meta, ds.mat_texture[mat_id],
-        uv[:, 0], uv[:, 1],
-    )
+    if int(ds.tex_data.shape[0]) > 1:  # see make_resolver: skip the
+        # per-hit texel gather when only the white-fallback pool exists
+        uv = (
+            w[:, None] * ds.tri_uv0[tri]
+            + u[:, None] * ds.tri_uv1[tri]
+            + v[:, None] * ds.tri_uv2[tri]
+        )
+        tex = sample_base_color(
+            ds.tex_data, ds.tex_meta, ds.mat_texture[mat_id],
+            uv[:, 0], uv[:, 1], bilinear=bilinear,
+        )
+    else:
+        tex = jnp.ones(3, jnp.float32)
     return HitAttrs(
         pos=pos,
         n_geom=n_geom,
@@ -135,7 +169,8 @@ def resolve_hit(ds: DeviceScene, org, dirn, t, u, v, tri, inst) -> HitAttrs:
 
 
 def resolve_hit_packed(shade_rows, org, dirn, t, u, v, slot,
-                       tex_data=None, tex_meta=None) -> HitAttrs:
+                       tex_data=None, tex_meta=None,
+                       bilinear: bool = False) -> HitAttrs:
     """Gather-lean twin of resolve_hit for cluster accels (PairAccel).
 
     ONE row gather from the baked world-space shade table replaces ~10
@@ -175,7 +210,7 @@ def resolve_hit_packed(shade_rows, org, dirn, t, u, v, slot,
         )
         albedo = albedo * sample_base_color(
             tex_data, tex_meta, rec[:, 28].astype(jnp.int32),
-            uvi[:, 0], uvi[:, 1],
+            uvi[:, 0], uvi[:, 1], bilinear=bilinear,
         )
     return HitAttrs(
         pos=pos,
@@ -192,8 +227,8 @@ def resolve_hit_packed(shade_rows, org, dirn, t, u, v, slot,
 
 
 def resolve_hit_packed_tl(shade_rows, inst_table, org, dirn, t, u, v,
-                          slot, inst, tex_data=None,
-                          tex_meta=None) -> HitAttrs:
+                          slot, inst, tex_data=None, tex_meta=None,
+                          bilinear: bool = False) -> HitAttrs:
     """Two-level twin of resolve_hit_packed (PairAccelTL): the shade
     record is OBJECT space and shared across instances; the hit's
     instance id selects a normal matrix + optional material override
@@ -253,6 +288,7 @@ def resolve_hit_packed_tl(shade_rows, inst_table, org, dirn, t, u, v,
         )
         albedo = albedo * sample_base_color(
             tex_data, tex_meta, tex_id, uvi[:, 0], uvi[:, 1],
+            bilinear=bilinear,
         )
     return HitAttrs(
         pos=pos,
@@ -268,28 +304,38 @@ def resolve_hit_packed_tl(shade_rows, inst_table, org, dirn, t, u, v,
     )
 
 
-def make_resolver(ds: DeviceScene, accel):
+def make_resolver(ds: DeviceScene, accel, texture_filter: str = "nearest"):
     """Pick the hit-attribute resolver for this accel: the two-level
     packed path (PairAccelTL: object-space records + instance table),
     the packed shade-record path (cluster accels), or the legacy
-    per-field gather path."""
+    per-field gather path. ``texture_filter``: "nearest" (default — one
+    row gather per hit) or "bilinear" (glTF's LINEAR, 4 gathers)."""
     shade_rows = getattr(accel, "shade_rows", None)
     inst_table = getattr(accel, "inst_table", None)
+    # Untextured scenes carry only the 1-texel white-fallback pool —
+    # skip sampling entirely (a per-hit row gather costs ~3.7 ns/elt on
+    # this backend; it must not tax scenes that never asked for it).
+    textured = int(ds.tex_data.shape[0]) > 1
+    tex_data = ds.tex_data if textured else None
+    tex_meta = ds.tex_meta if textured else None
+    bilinear = texture_filter == "bilinear"
     if shade_rows is not None and inst_table is not None:
         def resolve(org, dirn, t, u, v, tri, inst, slot) -> HitAttrs:
             return resolve_hit_packed_tl(
                 shade_rows, inst_table, org, dirn, t, u, v, slot, inst,
-                tex_data=ds.tex_data, tex_meta=ds.tex_meta,
+                tex_data=tex_data, tex_meta=tex_meta, bilinear=bilinear,
             )
     elif shade_rows is not None:
         def resolve(org, dirn, t, u, v, tri, inst, slot) -> HitAttrs:
             return resolve_hit_packed(shade_rows, org, dirn, t, u, v,
-                                      slot, tex_data=ds.tex_data,
-                                      tex_meta=ds.tex_meta)
+                                      slot, tex_data=tex_data,
+                                      tex_meta=tex_meta,
+                                      bilinear=bilinear)
     else:
         def resolve(org, dirn, t, u, v, tri, inst, slot) -> HitAttrs:
             del slot
-            return resolve_hit(ds, org, dirn, t, u, v, tri, inst)
+            return resolve_hit(ds, org, dirn, t, u, v, tri, inst,
+                               bilinear=bilinear)
     return resolve
 
 

@@ -297,7 +297,8 @@ def render_pixels(
         max_bounces=config.max_bounces,
         use_nee=config.use_nee,
         shading_mode=config.shading_mode,
-        resolver=materials.make_resolver(ds, accel),
+        resolver=materials.make_resolver(
+            ds, accel, texture_filter=config.texture_filter),
     )
     return radiance.reshape(spp, n_px, 3).sum(axis=0), rays
 

@@ -238,7 +238,8 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         bounce sampling. ``bounce`` is a device scalar — one executable
         serves every bounce depth."""
         sampler = _sampler(seed, sample0)
-        resolver = materials.make_resolver(ds, accel)
+        resolver = materials.make_resolver(
+            ds, accel, texture_filter=config.texture_filter)
         hit_valid = hit.valid & state.alive
         radiance = state.radiance + jnp.where(
             (state.alive & ~hit.valid)[:, None],
@@ -408,7 +409,8 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
 
     @jax.jit
     def _flat_resolve(ds, accel, state: WaveState, hit):
-        attrs = materials.make_resolver(ds, accel)(
+        attrs = materials.make_resolver(
+            ds, accel, texture_filter=config.texture_filter)(
             state.org, state.dirn, hit.t, hit.u, hit.v, hit.tri,
             hit.inst, hit.slot,
         )

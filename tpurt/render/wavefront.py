@@ -149,7 +149,8 @@ def render_batch_wavefront(
     capacity = min(config.wavefront_capacity, w * h * config.spp_per_batch)
     total_paths = jnp.uint32(w * h * config.spp_per_batch)
     closest, any_hit = make_intersectors(ds, accel, meta=meta, config=config)
-    resolver = materials.make_resolver(ds, accel)
+    resolver = materials.make_resolver(
+        ds, accel, texture_filter=config.texture_filter)
     use_nee = config.use_nee
 
     def wave(loop: WaveLoop) -> WaveLoop:

@@ -28,6 +28,9 @@ class RenderConfig:
     max_bounces: int = 4  # 0 = primary rays only
     use_nee: bool = True  # next-event estimation (shadow rays)
     shading_mode: str = "full"  # "full" | "flat" (hello-triangle)
+    # base-color texture filter: "nearest" (1 row gather/hit, default) or
+    # "bilinear" (glTF LINEAR, 4 gathers — measurably slower on axon)
+    texture_filter: str = "nearest"
     seed: int = 0
     exposure: float = 1.0
     # "auto" | "brute" | "bvh" | "bvh_packet" | "bvh_pair" | "bvh_tile"
