@@ -117,6 +117,75 @@ def flatten_world_tris(ds: DeviceScene | None, meta: SceneMeta, scene=None):
             inst_id[order])
 
 
+def kd_cluster_order(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
+                     size: int = TRIS_PER_CLUSTER) -> np.ndarray:
+    """Permutation grouping triangles into kd-tight uniform clusters.
+
+    Recursive widest-axis centroid partition whose split counts are
+    multiples of ``size``: every consecutive run of ``size`` tris in the
+    returned order is one spatially-compact cluster (the single
+    remainder cluster lands last). Versus chopping the global Morton
+    order (which jumps diagonally at code boundaries), cluster AABBs
+    tighten substantially at identical cluster count/memory/machinery —
+    measured on the bunny bounce wave (benchmarks/probe_cluster.py):
+    exact-ANY pairs/tile 138.8 → 99.4 (−28%), frustum pairs 302 → 296.
+
+    Clusters are emitted in Morton order of their centroid and tris
+    WITHIN a cluster are Morton-ordered so the per-row 12-tri sub-boxes
+    stay tight.
+    """
+    centro = ((v0 + v1 + v2) / 3.0).astype(np.float64)
+    n = v0.shape[0]
+    groups = []
+    stack = [np.arange(n)]
+    while stack:
+        s = stack.pop()
+        if s.shape[0] <= size:
+            groups.append(s)
+            continue
+        c = centro[s]
+        ax = int(np.argmax(c.max(0) - c.min(0)))
+        n_cl = s.shape[0] / size
+        k = max(1, int(round(n_cl / 2.0))) * size
+        if k >= s.shape[0]:
+            k = (s.shape[0] - 1) // size * size
+        part = np.argpartition(c[:, ax], k)
+        stack.append(s[part[:k]])
+        stack.append(s[part[k:]])
+    # remainder cluster (size < ``size``) must land last so padding only
+    # ever hits the final cluster's rows
+    full = [g for g in groups if g.shape[0] == size]
+    rest = [g for g in groups if g.shape[0] < size]
+    assert len(rest) <= 1
+    if full:
+        lo = centro.min(0)
+        hi = centro.max(0)
+        cen = np.stack([centro[g].mean(0) for g in full])
+        c_ord = np.argsort(
+            _morton(cen.astype(np.float32), lo.astype(np.float32),
+                    hi.astype(np.float32)), kind="stable"
+        )
+        full = [full[i] for i in c_ord]
+    order = []
+    for g in full + rest:
+        m = _morton(centro[g].astype(np.float32),
+                    centro[g].min(0).astype(np.float32),
+                    centro[g].max(0).astype(np.float32))
+        order.append(g[np.argsort(m, kind="stable")])
+    return np.concatenate(order) if order else np.arange(0)
+
+
+def cluster_order(v0, v1, v2, size: int = TRIS_PER_CLUSTER):
+    """Production triangle order for uniform clustering: kd-tight by
+    default, ``TPURT_CLUSTERING=morton`` keeps the input (Morton) order
+    for A/B measurement."""
+    import os
+
+    if os.environ.get("TPURT_CLUSTERING", "kd") == "kd":
+        return kd_cluster_order(v0, v1, v2, size)
+    return np.arange(v0.shape[0])
+
+
 def pack_tri_rows(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                   n_rows: int):
     """Pack triangles into the (n_rows, 128) kernel record table.
@@ -350,6 +419,8 @@ def build_pair_accel_two_level(ds: DeviceScene, meta: SceneMeta,
         lo = np.minimum(np.minimum(v0, v1), v2).min(0)
         hi = np.maximum(np.maximum(v0, v1), v2).max(0)
         order = np.argsort(_morton(centro, lo, hi), kind="stable")
+        ko = cluster_order(v0[order], v1[order], v2[order])
+        order = order[ko]
         v0, v1, v2 = v0[order], v1[order], v2[order]
         n_c = -(-count // TRIS_PER_CLUSTER)
         n_rows = n_c * ROWS_PER_CLUSTER
@@ -485,8 +556,11 @@ def build_pair_accel_two_level(ds: DeviceScene, meta: SceneMeta,
 
 def build_pair_accel(ds: DeviceScene, meta: SceneMeta,
                      scene=None) -> PairAccel:
-    """Flatten instances → Morton sort → uniform clusters + AABBs."""
+    """Flatten instances → kd-tight uniform clusters + AABBs."""
     v0, v1, v2, tri_id, inst_id = flatten_world_tris(ds, meta, scene)
+    ko = cluster_order(v0, v1, v2)
+    v0, v1, v2 = v0[ko], v1[ko], v2[ko]
+    tri_id, inst_id = tri_id[ko], inst_id[ko]
     t = v0.shape[0]
     n_clusters = -(-t // TRIS_PER_CLUSTER)
     n_rows = n_clusters * ROWS_PER_CLUSTER

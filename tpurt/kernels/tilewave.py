@@ -57,6 +57,9 @@ import os as _os
 # the cost of wider tile unions (env-tunable for benchmarking).
 TILE = int(_os.environ.get("TPURT_TILE_SIZE", 1024))
 SUB = TILE // 128  # sublane rows per field
+# pair-loop unroll factor (see _tileloop_kernel): 2 measured best vs 1;
+# higher factors trade loop machinery for code size / guard ops
+PAIR_UNROLL = int(_os.environ.get("TPURT_PAIR_UNROLL", 2))
 _TPR = 12
 _LANES_PER_TRI = 10
 
@@ -998,24 +1001,26 @@ def _tileloop_kernel(
                     out_ref[4 * SUB:5 * SUB, :] = jnp.where(
                         win, inst_f, out_ref[4 * SUB:5 * SUB, :])
 
-    # Manually 2×-unrolled pair loop: the dynamic-bound fori lowers to a
+    # Manually unrolled pair loop: the dynamic-bound fori lowers to a
     # Mosaic while loop whose per-iteration condition/branch machinery
     # measured ~250 ns — a third of the per-pair budget on bounce waves.
-    # Processing two pairs per iteration halves it; the second half is
-    # guarded (segments can be odd). DMA slots alternate by PAIR index
-    # (rem(p, 2)) so the double-buffer chain is identical to the
-    # one-pair-per-iteration form.
+    # Processing PAIR_UNROLL pairs per iteration divides it; all but the
+    # first slot are guarded (segment lengths are arbitrary). DMA slots
+    # alternate by PAIR index (rem(p, 2)) so the double-buffer chain is
+    # identical to the one-pair-per-iteration form.
     def body(j, carry):
-        p = s + 2 * j
+        p = s + PAIR_UNROLL * j
         pair_body(p)
+        for k in range(1, PAIR_UNROLL):
 
-        @pl.when(p + 1 < e)
-        def _():
-            pair_body(p + 1)
+            @pl.when(p + k < e)
+            def _(k=k):
+                pair_body(p + k)
 
         return carry
 
-    jax.lax.fori_loop(0, (e - s + 1) // 2, body, 0)
+    jax.lax.fori_loop(0, (e - s + PAIR_UNROLL - 1) // PAIR_UNROLL,
+                      body, 0)
 
 
 # scenes with at most this many clusters take the static all-pairs path
@@ -1379,9 +1384,21 @@ def make_tile_intersector(ds, accel: PairAccel, *,
                  jnp.max(jnp.stack([o[5][1] for o in outs]))]
             )
         if restore_key is not None:
-            _, bt, bu, bv, bs, bi = jax.lax.sort(
-                (restore_key, bt, bu, bv, bs, bi), num_keys=1
-            )
+            # Un-permute ONLY the fields the caller consumes: any-hit
+            # waves read just bs (occluded = bs ≥ 0), and bi is all-zero
+            # unless two_level — multi-operand lax.sort cost scales with
+            # operand count (PARITY.md law 2), so shadow traces restore
+            # 2 operands instead of 6.
+            if any_hit:
+                _, bs = jax.lax.sort((restore_key, bs), num_keys=1)
+            elif two_level:
+                _, bt, bu, bv, bs, bi = jax.lax.sort(
+                    (restore_key, bt, bu, bv, bs, bi), num_keys=1
+                )
+            else:
+                _, bt, bu, bv, bs = jax.lax.sort(
+                    (restore_key, bt, bu, bv, bs), num_keys=1
+                )
         return bt[:n], bu[:n], bv[:n], bs[:n], bi[:n], stats
 
     def _hit_from(bt, bu, bv, bs, bi):
