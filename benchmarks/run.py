@@ -1,12 +1,20 @@
 """Benchmark ladder runner (SURVEY.md §6): renders the five configs and
 writes a measured table to BASELINE_MEASURED.md + results JSONL.
 
+Each config runs in a FRESH SUBPROCESS: the first device→host readback of
+a process permanently degrades every later dispatch on the axon backend
+(~100×, benchmarks/profile_poison.py), so a single-process multi-config
+ladder poisons every config after the first — reproduced in round 2
+(PARITY.md session-4). The child also retries on the intermittent
+"TPU worker crashed" tunnel fault, like bench.py.
+
 Usage: python benchmarks/run.py [--cpu] [--quick] [--configs bunny,...]
 """
 
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -22,26 +30,65 @@ LADDER = [
 ]
 
 
+def child_main(args) -> int:
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    from tpurt.render import render_scene
+    from tpurt.utils.config import get_config
+
+    overrides = json.loads(args.overrides)
+    config = get_config(args.config, **overrides)
+    device = str(jax.devices()[0])
+    # warm-up: compile the batch executable (same shape) untimed; no
+    # stats readback before the measured run (axon first-D2H poison)
+    warm = dataclasses.replace(config, spp=config.spp_per_batch)
+    t_w = time.perf_counter()
+    render_scene(warm, readback_stats=False)
+    warm_s = time.perf_counter() - t_w
+    t0 = time.perf_counter()
+    state, stats = render_scene(config)
+    wall = time.perf_counter() - t0
+    rec = {
+        "config": args.config,
+        "resolution": f"{config.width}x{config.height}",
+        "spp": stats["spp"],
+        "mrays_per_s": round(stats["mrays_per_s"], 3),
+        "frame_s": round(stats["elapsed_s"], 3),
+        "wall_s": round(wall, 2),
+        "warmup_s": round(warm_s, 1),
+        "pair_overflow": stats.get("pair_overflow", False),
+        "budget_retries": stats.get("budget_retries", 0),
+        "rays": int(stats["rays_traced"]),
+        "device": device,
+        "ts": time.strftime("%Y-%m-%d %H:%M"),
+    }
+    print("LADDER_RESULT " + json.dumps(rec))
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--configs", default=None,
                     help="comma-separated subset")
+    ap.add_argument("--retries", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "results.jsonl"))
+    # child mode (one config per process)
+    ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--config", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--overrides", default="{}", help=argparse.SUPPRESS)
     args = ap.parse_args()
-
-    import jax
-
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-
-    from tpurt.render import render_scene
-    from tpurt.utils.config import get_config
+    if args._child:
+        sys.exit(child_main(args))
 
     want = set(args.configs.split(",")) if args.configs else None
-    device = str(jax.devices()[0])
     rows = []
     for name, over, quick in LADDER:
         if want and name not in want:
@@ -49,32 +96,27 @@ def main():
         overrides = dict(over)
         if args.quick:
             overrides.update(quick)
-        config = get_config(name, **overrides)
-        # warm-up: compile the batch executable (same shape) untimed
-        import dataclasses
-
-        warm = dataclasses.replace(config, spp=config.spp_per_batch)
-        t_w = time.perf_counter()
-        # no stats readback in the warmup (axon first-D2H poison)
-        render_scene(warm, readback_stats=False)
-        warm_s = time.perf_counter() - t_w
-        t0 = time.perf_counter()
-        state, stats = render_scene(config)
-        wall = time.perf_counter() - t0
-        rec = {
-            "config": name,
-            "resolution": f"{config.width}x{config.height}",
-            "spp": stats["spp"],
-            "mrays_per_s": round(stats["mrays_per_s"], 3),
-            "frame_s": round(stats["elapsed_s"], 3),
-            "wall_s": round(wall, 2),
-            "warmup_s": round(warm_s, 1),
-            "pair_overflow": stats.get("pair_overflow", False),
-            "budget_retries": stats.get("budget_retries", 0),
-            "rays": int(stats["rays_traced"]),
-            "device": device,
-            "ts": time.strftime("%Y-%m-%d %H:%M"),
-        }
+        cmd = [sys.executable, __file__, "--_child", "--config", name,
+               "--overrides", json.dumps(overrides)]
+        if args.cpu:
+            cmd.append("--cpu")
+        rec = None
+        for attempt in range(args.retries):
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=4200)
+            for line in r.stdout.splitlines():
+                if line.startswith("LADDER_RESULT "):
+                    rec = json.loads(line[len("LADDER_RESULT "):])
+                    break
+            if rec:
+                break
+            err = (r.stderr.splitlines() or ["?"])[-1][:200]
+            print(f"# {name} attempt {attempt + 1} failed: {err}",
+                  file=sys.stderr)
+        if not rec:
+            rec = {"config": name, "error": True}
+            print(json.dumps(rec))
+            continue
         rows.append(rec)
         print(json.dumps(rec))
         with open(args.out, "a") as f:
@@ -84,7 +126,8 @@ def main():
                       "BASELINE_MEASURED.md")
     with open(md, "w") as f:
         f.write("# Measured benchmark ladder (latest run)\n\n")
-        f.write(f"Device: {device}\n\n")
+        f.write(f"Device: {rows[0]['device'] if rows else '?'} — one fresh "
+                "subprocess per config (axon D2H-poison law)\n\n")
         f.write("| config | resolution | spp | Mrays/s | frame s | "
                 "warmup s | overflow |\n")
         f.write("|---|---|---|---|---|---|---|\n")
