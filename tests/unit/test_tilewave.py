@@ -208,6 +208,75 @@ def test_smem_path_matches_oracle(rng, monkeypatch, scene_kind):
     )
 
 
+def test_approx_recip_matches_oracle(rng, monkeypatch):
+    """TPURT_APPROX_RECIP=1 (approx reciprocal + one Newton step for the
+    Möller–Trumbore 1/det) must agree with the brute oracle to the same
+    tolerances as the exact-divide kernel."""
+    monkeypatch.setenv("TPURT_APPROX_RECIP", "1")
+    monkeypatch.setenv("TPURT_SMEM_TRI", "1")
+    scene = bunny_standin(subdivisions=3)
+    meta = scene_meta(scene)
+    ds = to_device(scene)
+    accel = build_pair_accel(ds, meta, scene=scene)
+    t_closest, _ = make_tile_intersector(
+        ds, accel, interpret=True, ray_sort="octant"
+    )
+    b_closest, _ = make_brute_force(ds, meta)
+    center = np.asarray(
+        (np.asarray(ds.tri_v0).min(0) + np.asarray(ds.tri_v0).max(0)) / 2
+    )
+    radius = float(
+        np.max(np.asarray(ds.tri_v0).max(0) - np.asarray(ds.tri_v0).min(0))
+    )
+    org, dirn = _rand_rays(rng, 2048, center, radius * 0.5)
+    th = t_closest(org, dirn, 0.0, jnp.inf)
+    bh = b_closest(org, dirn, 0.0, jnp.inf)
+    np.testing.assert_array_equal(np.asarray(th.valid), np.asarray(bh.valid))
+    hit = np.asarray(bh.valid)
+    np.testing.assert_allclose(
+        np.asarray(th.t)[hit], np.asarray(bh.t)[hit], rtol=1e-4, atol=1e-3
+    )
+
+
+@pytest.mark.parametrize("smem", ["0", "1"])
+@pytest.mark.parametrize("scene_kind", ["bunny", "cornell"])
+def test_lean_occlusion_matches_oracle(rng, monkeypatch, scene_kind, smem):
+    """TPURT_LEAN_OCCL=1 compiles any-hit traces into the dedicated lean
+    kernel variant (division-free OR-fold, bt=-1 lane retirement) — its
+    occlusion booleans must equal the brute oracle on both the
+    masked-expansion path (bunny) and the static all-pairs path
+    (cornell), with and without the SMEM triangle broadcast."""
+    monkeypatch.setenv("TPURT_LEAN_OCCL", "1")
+    monkeypatch.setenv("TPURT_SMEM_TRI", smem)
+    if scene_kind == "bunny":
+        scene = bunny_standin(subdivisions=3)
+    else:
+        scene = cornell_box(path_tracer=True)
+    meta = scene_meta(scene)
+    ds = to_device(scene)
+    accel = build_pair_accel(ds, meta, scene=scene)
+    _, t_any = make_tile_intersector(
+        ds, accel, interpret=True, ray_sort="octant"
+    )
+    _, b_any = make_brute_force(ds, meta)
+    center = np.asarray(
+        (np.asarray(ds.tri_v0).min(0) + np.asarray(ds.tri_v0).max(0)) / 2
+    )
+    radius = float(
+        np.max(np.asarray(ds.tri_v0).max(0) - np.asarray(ds.tri_v0).min(0))
+    )
+    org, dirn = _rand_rays(rng, 2048, center, radius * 0.5)
+    t_max = jnp.asarray(rng.uniform(0.1, radius, 2048), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(t_any(org, dirn, 0.0, t_max)),
+        np.asarray(b_any(org, dirn, 0.0, t_max)),
+    )
+    # dead lanes (t_max < 0) must never be reported occluded
+    t_dead = t_max.at[::3].set(-1.0)
+    occ = np.asarray(t_any(org, dirn, 0.0, t_dead))
+    assert not occ[::3].any()
+
+
 def test_launch_chunking_matches_single(rng, monkeypatch):
     """Waves whose pair budget exceeds the SMEM prefetch cap split into
     sequential equal-shape launches — results must be identical."""

@@ -133,7 +133,13 @@ def _row_candidates_smem(sm_ref, slot, r, ox, oy, oz, dx, dy, dz, out):
     """_row_candidates twin reading triangle scalars from an SMEM copy of
     the cluster (sm_ref[slot, r, lane]) instead of vector lane extracts —
     SMEM scalar loads go through the scalar pipe and do not block the
-    VPU (the lane-extract version measured ~240 ns/row, extract-bound)."""
+    VPU (the lane-extract version measured ~240 ns/row, extract-bound).
+
+    TPURT_APPROX_RECIP=1 replaces the full-precision ``1/det`` with the
+    VPU's approximate reciprocal plus one Newton step (~fp32-accurate:
+    rel err ≤ ~2⁻²² vs ~2⁻¹⁴ raw) — worth it iff divide is multi-cycle
+    on this backend (benchmarks/probe_vpu_ops.py measures that)."""
+    approx = _os.environ.get("TPURT_APPROX_RECIP", "0") == "1"
     for j in range(_TPR):
         base = j * _LANES_PER_TRI
         v0x = sm_ref[slot, r, base + 0]
@@ -152,7 +158,12 @@ def _row_candidates_smem(sm_ref, slot, r, ox, oy, oz, dx, dy, dz, out):
         pz = dx * e2y - dy * e2x
         det = e1x * px + e1y * py + e1z * pz
         ok_det = jnp.abs(det) > EPS_DENOM
-        inv = 1.0 / jnp.where(ok_det, det, 1.0)
+        den = jnp.where(ok_det, det, 1.0)
+        if approx:
+            r0 = pl.reciprocal(den, approx=True)
+            inv = r0 * (2.0 - den * r0)  # one Newton step
+        else:
+            inv = 1.0 / den
         tx = ox - v0x
         ty = oy - v0y
         tz = oz - v0z
@@ -170,6 +181,57 @@ def _row_candidates_smem(sm_ref, slot, r, ox, oy, oz, dx, dy, dz, out):
             & (t > 0.0)
         )
         out.append((jnp.where(ok, t, BIG), u, v, sl))
+
+
+def _row_occluded_smem(sm_ref, slot, r, ox, oy, oz, dx, dy, dz, bt):
+    """Division-free any-hit twin of ``_row_candidates_smem``: OR-folds
+    the row's 12 Möller–Trumbore window tests without computing
+    ``inv = 1/det`` or carrying (t, u, v, slot) closest-fold state.
+
+    Sign-normalizing by ``sg = sign(det)`` turns the post-division
+    conditions ``u ≥ 0, v ≥ 0, u+v ≤ 1, 0 < t < tmax`` into the exact
+    divide-free equivalents ``su ≥ 0, sv ≥ 0, su+sv ≤ ad, 0 < st <
+    bt·ad`` (ad = |det|). ``bt`` is the lane's live window: tmax for
+    live lanes, −1 for dead OR already-occluded lanes — the latter can
+    never re-trigger because ``st < bt·ad`` is false for bt < 0."""
+    occ = None
+    for j in range(_TPR):
+        base = j * _LANES_PER_TRI
+        v0x = sm_ref[slot, r, base + 0]
+        v0y = sm_ref[slot, r, base + 1]
+        v0z = sm_ref[slot, r, base + 2]
+        e1x = sm_ref[slot, r, base + 3]
+        e1y = sm_ref[slot, r, base + 4]
+        e1z = sm_ref[slot, r, base + 5]
+        e2x = sm_ref[slot, r, base + 6]
+        e2y = sm_ref[slot, r, base + 7]
+        e2z = sm_ref[slot, r, base + 8]
+
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        sg = jnp.where(det >= 0.0, 1.0, -1.0)
+        ad = det * sg
+        tx = ox - v0x
+        ty = oy - v0y
+        tz = oz - v0z
+        su = (tx * px + ty * py + tz * pz) * sg
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        sv = (dx * qx + dy * qy + dz * qz) * sg
+        st = (e2x * qx + e2y * qy + e2z * qz) * sg
+        hit = (
+            (ad > EPS_DENOM)
+            & (su >= 0.0)
+            & (sv >= 0.0)
+            & (su + sv <= ad)
+            & (st > 0.0)
+            & (st < bt * ad)
+        )
+        occ = hit if occ is None else (occ | hit)
+    return occ
 
 
 def _row_box_interval(sm0, slot0, r, ox, oy, oz, ivx, ivy, ivz, far):
@@ -769,6 +831,7 @@ def _tileloop_kernel(
     two_level: bool = False,
     n_out: int = 4,
     smem_tri: bool = True,
+    lean_any: bool = False,
 ):
     """Grid-over-TILES pair-loop kernel (round-2 production traversal).
 
@@ -796,6 +859,16 @@ def _tileloop_kernel(
     ``deq ≤ true tn``. Once every lane's best t (or tmax, or dead −1)
     is below ``deq``, no later pair of this tile can improve any lane —
     the remaining pairs skip their vector work in a few ops.
+
+    ``lean_any`` (compile-time, TPURT_LEAN_OCCL=1): occlusion-only body.
+    Rows run the division-free OR-fold window test
+    (``_row_occluded_smem``) instead of the closest-hit candidate fold;
+    an occluded lane sets slot ≥ 0 (the wrapper's contract) AND bt = −1,
+    which retires it from every later box test, the far break, and the
+    early loop exit — the all-occluded early-out falls out of the bt
+    check for free. Costs one extra Mosaic variant per config (the
+    closest/any-hit runtime-flag sharing is bypassed for any-hit
+    traces), bought back by the cheaper occlusion inner loop.
     """
     if two_level:
         (off_ref, pc_ref, fl_ref, sc_ref, pm_ref, xf_ref, tri_ref,
@@ -897,15 +970,16 @@ def _tileloop_kernel(
         # pair's entry-distance lower bound (see kernel docstring).
         deq = (v >> 16).astype(jnp.float32) * sc_ref[0]
         done = jnp.all(out_ref[0:SUB, :] < deq)
-        done = done | (is_any & jnp.all(
-            (out_ref[3 * SUB:4 * SUB, :] >= 0.0)
-            | (out_ref[0:SUB, :] < 0.0)
-        ))
+        if not lean_any:
+            done = done | (is_any & jnp.all(
+                (out_ref[3 * SUB:4 * SUB, :] >= 0.0)
+                | (out_ref[0:SUB, :] < 0.0)
+            ))
 
         @pl.when(~done)
         def _():
             (ox, oy, oz, dx, dy, dz, ivx, ivy, ivz) = _pair_rays(c)
-            if two_level:
+            if two_level and not lean_any:
                 inst_f = (pm_ref[jnp.maximum(c, 0)]
                           >> INST_SHIFT).astype(jnp.float32)
             if smem_tri:
@@ -949,6 +1023,22 @@ def _tileloop_kernel(
                             bt_r
                         )
 
+                        if lean_any:
+
+                            @pl.when(jnp.any(tn <= tf))
+                            def _(r=r, bt_r=bt_r):
+                                occ = _row_occluded_smem(
+                                    sm_ref, slot, r, ox, oy, oz,
+                                    dx, dy, dz, bt_r
+                                )
+                                out_ref[0:SUB, :] = jnp.where(
+                                    occ, -1.0, bt_r)
+                                out_ref[3 * SUB:4 * SUB, :] = jnp.where(
+                                    occ, 0.0,
+                                    out_ref[3 * SUB:4 * SUB, :])
+
+                            continue
+
                         @pl.when(jnp.any(tn <= tf))
                         def _(r=r):
                             cand = []
@@ -989,6 +1079,14 @@ def _tileloop_kernel(
                     0, ROWS_PER_CLUSTER, rbody, init
                 )
                 bt = out_ref[0:SUB, :]
+                if lean_any:
+                    # occlusion semantics only: any candidate inside the
+                    # live window occludes the lane (retire via bt = −1)
+                    occ = tm_c < bt
+                    out_ref[0:SUB, :] = jnp.where(occ, -1.0, bt)
+                    out_ref[3 * SUB:4 * SUB, :] = jnp.where(
+                        occ, 0.0, out_ref[3 * SUB:4 * SUB, :])
+                    return
                 win = tm_c < bt
                 out_ref[0:SUB, :] = jnp.where(win, tm_c, bt)
                 out_ref[SUB:2 * SUB, :] = jnp.where(
@@ -1001,15 +1099,30 @@ def _tileloop_kernel(
                     out_ref[4 * SUB:5 * SUB, :] = jnp.where(
                         win, inst_f, out_ref[4 * SUB:5 * SUB, :])
 
-    # Manually unrolled pair loop: the dynamic-bound fori lowers to a
-    # Mosaic while loop whose per-iteration condition/branch machinery
-    # measured ~250 ns — a third of the per-pair budget on bounce waves.
-    # Processing PAIR_UNROLL pairs per iteration divides it; all but the
-    # first slot are guarded (segment lengths are arbitrary). DMA slots
-    # alternate by PAIR index (rem(p, 2)) so the double-buffer chain is
-    # identical to the one-pair-per-iteration form.
-    def body(j, carry):
-        p = s + PAIR_UNROLL * j
+    # Manually unrolled EARLY-TERMINATING pair loop. The dynamic-bound
+    # loop lowers to a Mosaic while loop whose per-iteration
+    # condition/branch machinery measured ~250 ns — a third of the
+    # per-pair budget on bounce waves. Two levers:
+    #   * processing PAIR_UNROLL pairs per iteration divides the
+    #     machinery (all but the first slot are guarded — segment
+    #     lengths are arbitrary);
+    #   * the loop CARRIES the tile's done condition (far break /
+    #     any-hit all-occluded — see pair_body) and stops iterating
+    #     outright when it trips, instead of paying the machinery for
+    #     every remaining pair just to skip its body. Front-to-back
+    #     pair order makes this a real traversal exit: once every
+    #     lane's best t beats the next entry bound, the segment ends.
+    # DMA slots alternate by PAIR index (rem(p, 2)) so the double-buffer
+    # chain is identical to the one-pair-per-iteration form; on an early
+    # exit exactly one prefetched copy (pair p_final) is in flight and is
+    # drained below to keep the slot semaphores balanced across grid
+    # steps.
+    def cond(carry):
+        p, done = carry
+        return (p < e) & ~done
+
+    def body(carry):
+        p, _ = carry
         pair_body(p)
         for k in range(1, PAIR_UNROLL):
 
@@ -1017,10 +1130,32 @@ def _tileloop_kernel(
             def _(k=k):
                 pair_body(p + k)
 
-        return carry
+        nxt = p + PAIR_UNROLL
+        # done check for the next block = the early-out pair_body(nxt)
+        # would compute: every lane's best t already beats nxt's entry
+        # lower bound, or (any-hit) every lane is occluded or dead
+        nv = pc_ref[jnp.minimum(nxt, e - 1)]
+        deq = (nv >> 16).astype(jnp.float32) * sc_ref[0]
+        done = jnp.all(out_ref[0:SUB, :] < deq)
+        if not lean_any:
+            done = done | (is_any & jnp.all(
+                (out_ref[3 * SUB:4 * SUB, :] >= 0.0)
+                | (out_ref[0:SUB, :] < 0.0)
+            ))
+        return (nxt, done)
 
-    jax.lax.fori_loop(0, (e - s + PAIR_UNROLL - 1) // PAIR_UNROLL,
-                      body, 0)
+    p_final, _ = jax.lax.while_loop(
+        cond, body, (s, jnp.zeros((), jnp.bool_))
+    )
+    if smem_tri:
+        # drain the in-flight prefetch on early exit: every executed pair
+        # waited its own copy and started pair p+1's, so exactly the
+        # p_final copy is pending iff the loop stopped before e
+        @pl.when(p_final < e)
+        def _():
+            cluster_dma(
+                jax.lax.rem(p_final, 2), pc_ref[p_final] & 0xFFFF
+            ).wait()
 
 
 # scenes with at most this many clusters take the static all-pairs path
@@ -1167,6 +1302,10 @@ def _launch_tiles_loop(off, pair_cl, org, dirn, t_max_vec, tri_rows, *,
     (ray_pack,) = jax.lax.optimization_barrier((ray_pack,))
     smem_tri = _os.environ.get(
         "TPURT_SMEM_TRI", "" if interpret else "1") == "1"
+    # TPURT_LEAN_OCCL=1: occlusion traces compile their own lean variant
+    # (division-free OR-fold body) instead of sharing the closest-hit
+    # kernel via the runtime flag — one extra Mosaic compile per config.
+    lean_any = any_hit and _os.environ.get("TPURT_LEAN_OCCL", "0") == "1"
     scratch = []
     if smem_tri:
         scratch = [
@@ -1186,7 +1325,8 @@ def _launch_tiles_loop(off, pair_cl, org, dirn, t_max_vec, tri_rows, *,
                     inv_xform.reshape(-1), tri_rows, ray_pack)
     out = pl.pallas_call(
         functools.partial(_tileloop_kernel, two_level=two_level,
-                          n_out=n_out, smem_tri=smem_tri),
+                          n_out=n_out, smem_tri=smem_tri,
+                          lean_any=lean_any),
         grid_spec=grid_spec,
         out_shape=[out_shape],
         interpret=interpret,
@@ -1266,6 +1406,28 @@ def make_tile_intersector(ds, accel: PairAccel, *,
                 [tmv, jnp.full(pad, -1.0, jnp.float32)]
             )
         n_tiles = (n + pad) // TILE
+        # Scene-exit tmax cap (EXACT, not heuristic): every primitive lies
+        # inside the accel bounds, so a lane's closest hit satisfies
+        # t ≤ its scene-AABB slab-exit distance. Capping tmv there gives
+        # MISS lanes a finite best-t, which (a) unblocks the kernel's far
+        # break / early loop exit on miss-heavy bounce waves (a single
+        # sky-bound lane with bt=BIG otherwise pins its whole tile to the
+        # full pair list), (b) tightens every best-t-limited cluster/row
+        # box test, and (c) turns rays that miss the scene box entirely
+        # into dead lanes excluded from the frustum masks. +1e-4 relative
+        # and +1e-4·diag absolute fp padding keep it conservative.
+        lo_all = jnp.min(jnp.asarray(lo), axis=0)
+        hi_all = jnp.max(jnp.asarray(hi), axis=0)
+        diag = jnp.linalg.norm(hi_all - lo_all)
+        inv_c = 1.0 / jnp.where(
+            jnp.abs(dirn) < 1e-12,
+            jnp.where(dirn >= 0.0, 1e-12, -1e-12), dirn,
+        )
+        t_lo = (lo_all[None, :] - org) * inv_c
+        t_hi = (hi_all[None, :] - org) * inv_c
+        texit = jnp.min(jnp.maximum(t_lo, t_hi), axis=1)
+        cap = texit * (1.0 + 1e-4) + 1e-4 * diag
+        tmv = jnp.where(tmv >= 0.0, jnp.minimum(tmv, cap), tmv)
         # packed-prefetch encoding limits (tile·2^16 + cluster + 1, i32);
         # the tile index is per LAUNCH (chunking below keeps it small)
         assert n_clusters < 65535, "pair encoding caps clusters at 65534"
