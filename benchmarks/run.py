@@ -122,6 +122,11 @@ def main():
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
+    # only a FULL ladder on the real device refreshes the committed table
+    # (a --configs/--cpu/--quick subset run would clobber it with partial
+    # or CPU rows)
+    if want or args.cpu or args.quick:
+        return
     md = os.path.join(os.path.dirname(__file__), "..",
                       "BASELINE_MEASURED.md")
     with open(md, "w") as f:
