@@ -118,23 +118,40 @@ def flatten_world_tris(ds: DeviceScene | None, meta: SceneMeta, scene=None):
 
 
 def kd_cluster_order(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-                     size: int = TRIS_PER_CLUSTER) -> np.ndarray:
+                     size: int = TRIS_PER_CLUSTER,
+                     sah: bool = True, n_cand: int = 5) -> np.ndarray:
     """Permutation grouping triangles into kd-tight uniform clusters.
 
-    Recursive widest-axis centroid partition whose split counts are
-    multiples of ``size``: every consecutive run of ``size`` tris in the
-    returned order is one spatially-compact cluster (the single
-    remainder cluster lands last). Versus chopping the global Morton
-    order (which jumps diagonally at code boundaries), cluster AABBs
-    tighten substantially at identical cluster count/memory/machinery —
-    measured on the bunny bounce wave (benchmarks/probe_cluster.py):
-    exact-ANY pairs/tile 138.8 → 99.4 (−28%), frustum pairs 302 → 296.
+    Recursive centroid partition whose split counts are multiples of
+    ``size``: every consecutive run of ``size`` tris in the returned
+    order is one spatially-compact cluster (the single remainder cluster
+    lands last). Versus chopping the global Morton order (which jumps
+    diagonally at code boundaries), cluster AABBs tighten substantially
+    at identical cluster count/memory/machinery — measured on the bunny
+    bounce wave (benchmarks/probe_cluster.py): exact-ANY pairs/tile
+    138.8 → 99.4 (−28%), frustum pairs 302 → 296.
+
+    ``sah=True`` (default) picks the split axis AND position by scanning
+    all 3 axes × ``n_cand`` size-multiple positions with the SAH-style
+    cost area(L)·nL + area(R)·nR over true triangle-box unions
+    (prefix/suffix scans along each axis order), instead of the widest-
+    centroid-axis midpoint: exact-ANY 99.4 → 96.0, mean cluster box
+    volume −14% (benchmarks/probe_cluster2.py; the k-means capacity
+    refinements measured there were strictly worse and were rejected).
 
     Clusters are emitted in Morton order of their centroid and tris
     WITHIN a cluster are Morton-ordered so the per-row 12-tri sub-boxes
     stay tight.
     """
     centro = ((v0 + v1 + v2) / 3.0).astype(np.float64)
+    if sah:
+        pmin = np.minimum(np.minimum(v0, v1), v2).astype(np.float64)
+        pmax = np.maximum(np.maximum(v0, v1), v2).astype(np.float64)
+
+        def _area(lo, hi):
+            d = np.maximum(hi - lo, 0.0)
+            return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
+
     n = v0.shape[0]
     groups = []
     stack = [np.arange(n)]
@@ -144,6 +161,40 @@ def kd_cluster_order(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
             groups.append(s)
             continue
         c = centro[s]
+        if sah:
+            n_cl = s.shape[0] // size
+            mid = max(1, int(round(n_cl / 2.0)))
+            cands = sorted({
+                max(1, min(n_cl, mid + d))
+                for d in range(-(n_cand // 2), n_cand // 2 + 1)
+            })
+            best = None
+            for ax in range(3):
+                o = np.argsort(c[:, ax], kind="stable")
+                so = s[o]
+                pre_lo = np.minimum.accumulate(pmin[so], axis=0)
+                pre_hi = np.maximum.accumulate(pmax[so], axis=0)
+                suf_lo = np.minimum.accumulate(
+                    pmin[so][::-1], axis=0)[::-1]
+                suf_hi = np.maximum.accumulate(
+                    pmax[so][::-1], axis=0)[::-1]
+                for m in cands:
+                    k = m * size
+                    if k >= s.shape[0]:
+                        continue
+                    cost = (
+                        _area(pre_lo[k - 1], pre_hi[k - 1]) * k
+                        + _area(suf_lo[k], suf_hi[k])
+                        * (s.shape[0] - k)
+                    )
+                    if best is None or cost < best[0]:
+                        best = (cost, so[:k], so[k:])
+            if best is not None:
+                stack.append(best[1])
+                stack.append(best[2])
+                continue
+            # every candidate k >= len(s) (single full cluster +
+            # remainder): fall through to the midpoint split below
         ax = int(np.argmax(c.max(0) - c.min(0)))
         n_cl = s.shape[0] / size
         k = max(1, int(round(n_cl / 2.0))) * size
@@ -176,13 +227,17 @@ def kd_cluster_order(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
 
 
 def cluster_order(v0, v1, v2, size: int = TRIS_PER_CLUSTER):
-    """Production triangle order for uniform clustering: kd-tight by
-    default, ``TPURT_CLUSTERING=morton`` keeps the input (Morton) order
-    for A/B measurement."""
+    """Production triangle order for uniform clustering: SAH-split
+    kd-tight by default; ``TPURT_CLUSTERING=kd`` uses the cheaper
+    widest-axis-midpoint splits, ``=morton`` keeps the input (Morton)
+    order — both for A/B measurement."""
     import os
 
-    if os.environ.get("TPURT_CLUSTERING", "kd") == "kd":
-        return kd_cluster_order(v0, v1, v2, size)
+    mode = os.environ.get("TPURT_CLUSTERING", "kdsah")
+    if mode == "kdsah":
+        return kd_cluster_order(v0, v1, v2, size, sah=True)
+    if mode == "kd":
+        return kd_cluster_order(v0, v1, v2, size, sah=False)
     return np.arange(v0.shape[0])
 
 
