@@ -30,6 +30,13 @@ VARIANTS = {
     "batch8": ({}, ["--spp-per-batch", "8"]),
     "unroll4": ({"TPURT_PAIR_UNROLL": "4"}, []),
     "morton_clusters": ({"TPURT_CLUSTERING": "morton"}, []),
+    "kd_clusters": ({"TPURT_CLUSTERING": "kd"}, []),
+    "exact_mask": ({"TPURT_EXACT_MASK": "1"}, []),
+    "exact+lean": (
+        {"TPURT_EXACT_MASK": "1", "TPURT_LEAN_OCCL": "1"}, []),
+    "all_on": (
+        {"TPURT_EXACT_MASK": "1", "TPURT_LEAN_OCCL": "1",
+         "TPURT_APPROX_RECIP": "1"}, []),
 }
 
 

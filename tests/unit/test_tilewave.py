@@ -208,6 +208,41 @@ def test_smem_path_matches_oracle(rng, monkeypatch, scene_kind):
     )
 
 
+def test_exact_mask_matches_oracle(rng, monkeypatch):
+    """TPURT_EXACT_MASK=1 replaces the conservative interval-frustum
+    tile mask with an exact per-ray ANY reduction — a pure pair-list
+    shrink that must not change a single result (closest AND any-hit)."""
+    monkeypatch.setenv("TPURT_EXACT_MASK", "1")
+    monkeypatch.setenv("TPURT_SMEM_TRI", "1")
+    scene = bunny_standin(subdivisions=3)
+    meta = scene_meta(scene)
+    ds = to_device(scene)
+    accel = build_pair_accel(ds, meta, scene=scene)
+    t_closest, t_any = make_tile_intersector(
+        ds, accel, interpret=True, ray_sort="octant"
+    )
+    b_closest, b_any = make_brute_force(ds, meta)
+    center = np.asarray(
+        (np.asarray(ds.tri_v0).min(0) + np.asarray(ds.tri_v0).max(0)) / 2
+    )
+    radius = float(
+        np.max(np.asarray(ds.tri_v0).max(0) - np.asarray(ds.tri_v0).min(0))
+    )
+    org, dirn = _rand_rays(rng, 2048, center, radius * 0.5)
+    th = t_closest(org, dirn, 0.0, jnp.inf)
+    bh = b_closest(org, dirn, 0.0, jnp.inf)
+    np.testing.assert_array_equal(np.asarray(th.valid), np.asarray(bh.valid))
+    hit = np.asarray(bh.valid)
+    np.testing.assert_allclose(
+        np.asarray(th.t)[hit], np.asarray(bh.t)[hit], rtol=1e-4, atol=1e-3
+    )
+    t_max = jnp.asarray(rng.uniform(0.1, radius, 2048), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(t_any(org, dirn, 0.0, t_max)),
+        np.asarray(b_any(org, dirn, 0.0, t_max)),
+    )
+
+
 def test_approx_recip_matches_oracle(rng, monkeypatch):
     """TPURT_APPROX_RECIP=1 (approx reciprocal + one Newton step for the
     Möller–Trumbore 1/det) must agree with the brute oracle to the same

@@ -627,6 +627,57 @@ def _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles, return_tn=False):
     return mask
 
 
+def _exact_any_mask(org, dirn, t_max_vec, lo, hi, n_tiles):
+    """(T, C) bool, EXACT: does ANY ray of tile t hit cluster c's box?
+
+    The interval-frustum mask (``_tile_mask``) is loose by construction —
+    the origin-box × inverse-direction-interval product covers ray
+    combinations that do not exist; on the bunny bounce wave it passes
+    296 pairs/tile where only 96 have any true ray·box hit, and even
+    128-ray sub-frustums only trim it to 288 (benchmarks/
+    probe_sortkey.py::main3 — the looseness is the interval arithmetic,
+    not tile width). TPURT_EXACT_MASK=1 replaces ~150 ns of in-kernel
+    machinery+pre-test per frustum-only pair (plus its 4 KB cluster DMA)
+    with a dense per-ray slab reduction here (~N·C·16 flops of fused
+    XLA, chunked over tiles to bound VMEM).
+    """
+    C = lo.shape[0]
+    o = org.reshape(n_tiles, TILE, 3)
+    tm = t_max_vec.reshape(n_tiles, TILE)
+    inv = 1.0 / jnp.where(jnp.abs(dirn) < 1e-12,
+                          jnp.where(dirn >= 0.0, 1e-12, -1e-12), dirn)
+    iv = inv.reshape(n_tiles, TILE, 3)
+    # chunk tiles so the (chunk, TILE, C) intermediates stay ~tens of MB
+    chunk = max(1, min(n_tiles, 8))
+    pad = (-n_tiles) % chunk
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, TILE, 3))])
+        iv = jnp.concatenate([iv, jnp.ones((pad, TILE, 3))])
+        tm = jnp.concatenate([tm, jnp.full((pad, TILE), -1.0)])
+
+    def body(args):
+        oc, ic, tc = args  # (chunk, TILE, 3), ..., (chunk, TILE)
+        tn = jnp.zeros((chunk, TILE, C), jnp.float32)
+        tf = jnp.broadcast_to(
+            jnp.maximum(tc, 0.0)[..., None], (chunk, TILE, C))
+        for a in range(3):
+            t0 = (lo[None, None, :, a] - oc[..., a:a + 1]) \
+                * ic[..., a:a + 1]
+            t1 = (hi[None, None, :, a] - oc[..., a:a + 1]) \
+                * ic[..., a:a + 1]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        hit = (tn <= tf) & (tc >= 0.0)[..., None]
+        return jnp.any(hit, axis=1)  # (chunk, C)
+
+    m = jax.lax.map(body, (
+        o.reshape(-1, chunk, TILE, 3),
+        iv.reshape(-1, chunk, TILE, 3),
+        tm.reshape(-1, chunk, TILE),
+    ))
+    return m.reshape(-1, C)[:n_tiles]
+
+
 def _octant_sort_keys(org, dirn, t_max_vec, scene_lo, scene_hi):
     """Direction-octant-major, origin-Morton-minor coherence keys.
 
@@ -1209,6 +1260,9 @@ def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
         )
     mask, tn_lower = _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles,
                                 return_tn=True)
+    if _os.environ.get("TPURT_EXACT_MASK", "0") == "1":
+        mask = mask & _exact_any_mask(org, dirn, t_max_vec, lo, hi,
+                                      n_tiles)
     # per-tile clamp (an overfull tile drops its trailing Morton-order
     # clusters — flagged), then the global SMEM capacity cap (trailing
     # tiles lose pairs — also flagged; render_scene auto-retries with
