@@ -182,3 +182,76 @@ def main(n_sample=24):
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 24)
+
+
+def main_rows(n_sample=24):
+    """Row-box pass rates: morton-chop rows (production) vs kd-sah-12
+    within-cluster rows (candidate: reorder tris inside each cluster by
+    a 3-level SAH kd so each 12-tri row is spatially tight)."""
+    from tpurt.bvh.paircluster import kd_cluster_order, flatten_world_tris
+
+    scene = load_scene("bunny")
+    ds = to_device(scene)
+    meta = scene_meta(scene)
+    v0, v1, v2, _, _ = flatten_world_tris(ds, meta, scene)
+    order = kd_cluster_order(v0, v1, v2, sah=True)
+    v0, v1, v2 = v0[order], v1[order], v2[order]
+    pmin = np.minimum(np.minimum(v0, v1), v2)
+    pmax = np.maximum(np.maximum(v0, v1), v2)
+    n = v0.shape[0]
+    C = -(-n // TRIS_PER_CLUSTER)
+    lo = np.stack([pmin[c * 96:(c + 1) * 96].min(0) for c in range(C)])
+    hi = np.stack([pmax[c * 96:(c + 1) * 96].max(0) for c in range(C)])
+
+    def row_boxes(within):
+        rlo = np.full((C * 8, 3), np.inf)
+        rhi = np.full((C * 8, 3), -np.inf)
+        for c in range(C):
+            s = c * 96
+            idx = np.arange(s, min(s + 96, n))
+            if within == "kd12":
+                sub = kd_cluster_order(v0[idx], v1[idx], v2[idx],
+                                       size=12, sah=True)
+                idx = idx[sub]
+            for r in range(8):
+                ri = idx[r * 12:(r + 1) * 12]
+                if len(ri):
+                    rlo[c * 8 + r] = pmin[ri].min(0)
+                    rhi[c * 8 + r] = pmax[ri].max(0)
+        return rlo, rhi
+
+    org, dirn, tmv, _ = bounce_wave(scene, ds, meta)
+    slo_, shi_ = lo.min(0), hi.max(0)
+    keys = np.asarray(tw._octant_sort_keys(
+        jnp.asarray(org), jnp.asarray(dirn), jnp.asarray(tmv),
+        jnp.asarray(slo_), jnp.asarray(shi_)))
+    o_ = np.argsort(keys, kind="stable")
+    org, dirn, tmv = org[o_], dirn[o_], tmv[o_]
+    inv = 1.0 / np.where(np.abs(dirn) < 1e-12,
+                         np.where(dirn >= 0, 1e-12, -1e-12), dirn)
+    rng = np.random.default_rng(0)
+    n_tiles = org.shape[0] // TILE
+    alive_tiles = [t for t in range(n_tiles)
+                   if (tmv[t * TILE:(t + 1) * TILE] >= 0).sum() > 256]
+    sample = rng.choice(alive_tiles, min(n_sample, len(alive_tiles)),
+                        replace=False)
+    for within in ("morton", "kd12"):
+        rlo, rhi = row_boxes(within)
+        tested = passed = 0
+        for ti in sample:
+            s = ti * TILE
+            o = org[s:s + TILE]
+            iv = inv[s:s + TILE]
+            bt = np.where(tmv[s:s + TILE] >= 0, tmv[s:s + TILE], -1.0)
+            hitc = np.zeros(C, bool)
+            for c in range(C):
+                if slab(lo[c], hi[c], o, iv, bt).any():
+                    hitc[c] = True
+            for c in np.where(hitc)[0]:
+                for r in range(8):
+                    tested += 1
+                    if slab(rlo[c * 8 + r], rhi[c * 8 + r], o, iv,
+                            bt).any():
+                        passed += 1
+        print(f"rows[{within}]: tested={tested} passed={passed} "
+              f"({100 * passed / tested:.1f}%)", flush=True)

@@ -219,6 +219,16 @@ def kd_cluster_order(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         full = [full[i] for i in c_ord]
     order = []
     for g in full + rest:
+        if sah and g.shape[0] > 12:
+            # within-cluster kd-sah into 12-tri rows: the kernel's
+            # per-row sub-AABBs come from chopping this order every 12,
+            # so kd-tight 12-groups prune rows harder than Morton runs —
+            # measured row-box pass rate 37.2% → 26.6% on the bunny
+            # bounce wave (benchmarks/probe_kernel_sim.py::main_rows),
+            # i.e. −29% Möller–Trumbore row work at zero kernel change.
+            order.append(g[kd_cluster_order(
+                v0[g], v1[g], v2[g], size=12, sah=True)])
+            continue
         m = _morton(centro[g].astype(np.float32),
                     centro[g].min(0).astype(np.float32),
                     centro[g].max(0).astype(np.float32))
