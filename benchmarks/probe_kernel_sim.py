@@ -255,3 +255,129 @@ def main_rows(n_sample=24):
                         passed += 1
         print(f"rows[{within}]: tested={tested} passed={passed} "
               f"({100 * passed / tested:.1f}%)", flush=True)
+
+
+def mt_any(v0, v1, v2, o, d, bt):
+    """Any-hit: occluded mask for tris (k,3) vs rays (R,3), window bt."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    p = np.cross(d[:, None], e2[None])
+    det = (e1[None] * p).sum(-1)
+    ok = np.abs(det) > 1e-12
+    inv = 1.0 / np.where(ok, det, 1.0)
+    tv = o[:, None] - v0[None]
+    u = (tv * p).sum(-1) * inv
+    q = np.cross(tv, e1[None])
+    v = (d[:, None] * q).sum(-1) * inv
+    t = (e2[None] * q).sum(-1) * inv
+    ok &= (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 0) & (t < bt[:, None])
+    return ok.any(1)
+
+
+def main_shadow(n_sample=24):
+    """Shadow-wave (any-hit) ladder: how early does the all-occluded /
+    far-break loop exit fire, and how much work remains per tile."""
+    from probe_tile_union import bounce_wave as _bw  # noqa: F401
+    from tpurt.core.camera import camera_rays, full_frame_pixels_tiled
+    from tpurt.bvh.two_level import (
+        build_scene_accel, make_two_level_intersector)
+
+    scene = load_scene("bunny")
+    ds = to_device(scene)
+    meta = scene_meta(scene)
+    accel = build_pair_accel(ds, meta, scene=scene)
+    lo = np.asarray(accel.cluster_lo)
+    hi = np.asarray(accel.cluster_hi)
+    rows = np.asarray(accel.tri_rows)
+    lanes = np.arange(TPR) * 10
+    rv0 = np.stack([rows[:, lanes + k] for k in range(3)], -1)
+    re1 = np.stack([rows[:, lanes + 3 + k] for k in range(3)], -1)
+    re2 = np.stack([rows[:, lanes + 6 + k] for k in range(3)], -1)
+    rblo = rows[:, 120:123]
+    rbhi = rows[:, 123:126]
+
+    # shadow wave: primary hit points -> a fixed key light above+behind
+    w, h = 800, 600
+    px, py = full_frame_pixels_tiled(w, h)
+    org, dirn = camera_rays(scene.camera, np.asarray(px), np.asarray(py),
+                            w, h)
+    org = np.asarray(org)[:262144]
+    dirn = np.asarray(dirn)[:262144]
+    ac2 = build_scene_accel(ds, meta)
+    closest, _ = make_two_level_intersector(ds, ac2)
+    hit = closest(jnp.asarray(org), jnp.asarray(dirn), 0.0, jnp.inf)
+    valid = np.asarray(hit.valid)
+    t = np.asarray(hit.t)
+    p = org + t[:, None] * dirn
+    slo_, shi_ = lo.min(0), hi.max(0)
+    light = shi_ + (shi_ - slo_) * np.array([0.3, 0.8, 0.3])
+    wd = light[None] - p
+    dist = np.linalg.norm(wd, axis=1)
+    wd = (wd / np.maximum(dist[:, None], 1e-9)).astype(np.float32)
+    sorg = (p + 1e-3 * wd).astype(np.float32)
+    tmv = np.where(valid, (dist * 0.999).astype(np.float32), -1.0)
+
+    keys = np.asarray(tw._octant_sort_keys(
+        jnp.asarray(sorg), jnp.asarray(wd), jnp.asarray(tmv),
+        jnp.asarray(slo_), jnp.asarray(shi_)))
+    o_ = np.argsort(keys, kind="stable")
+    sorg, wd, tmv = sorg[o_], wd[o_], tmv[o_]
+    inv = 1.0 / np.where(np.abs(wd) < 1e-12,
+                         np.where(wd >= 0, 1e-12, -1e-12), wd)
+    diag = np.linalg.norm(shi_ - slo_)
+    scale = diag / 32766.0
+    rng = np.random.default_rng(0)
+    n_tiles = sorg.shape[0] // TILE
+    alive_tiles = [ti for ti in range(n_tiles)
+                   if (tmv[ti * TILE:(ti + 1) * TILE] >= 0).sum() > 256]
+    sample = rng.choice(alive_tiles, min(n_sample, len(alive_tiles)),
+                        replace=False)
+    agg = dict(pairs=0, exec=0, skip=0, pre_kill=0, survive=0,
+               rows_tested=0, rows_pass=0, occl=0.0, tiles=0)
+    for ti in sample:
+        s = ti * TILE
+        o = sorg[s:s + TILE]
+        d = wd[s:s + TILE]
+        iv = inv[s:s + TILE]
+        bt = np.where(tmv[s:s + TILE] >= 0, tmv[s:s + TILE], -1.0)
+        t0 = (lo[:, None] - o[None]) * iv[None]
+        t1 = (hi[:, None] - o[None]) * iv[None]
+        tn = np.maximum(np.minimum(t0, t1).max(-1), 0.0)
+        tf = np.minimum(np.maximum(t0, t1).min(-1), bt[None])
+        hit_any = ((tn <= tf) & (bt[None] >= 0)).any(1)
+        tn_lo = np.where(hit_any, tn.min(1), np.inf)
+        cl = np.where(hit_any)[0]
+        entry_q = np.floor(np.maximum(tn_lo[cl], 0) / scale)
+        order = np.argsort(entry_q, kind="stable")
+        cl = cl[order]
+        deqs = entry_q[order] * scale
+        agg["tiles"] += 1
+        agg["pairs"] += len(cl)
+        alive0 = (bt >= 0).sum()
+        for i, (c, deq) in enumerate(zip(cl, deqs)):
+            if np.all(bt < deq):  # occluded lanes carry bt = -1
+                agg["skip"] += len(cl) - i
+                break
+            agg["exec"] += 1
+            live = slab(lo[c], hi[c], o, iv, bt)
+            if not live.any():
+                agg["pre_kill"] += 1
+                continue
+            agg["survive"] += 1
+            rb = c * ROWS_PER_CLUSTER
+            for r in range(ROWS_PER_CLUSTER):
+                agg["rows_tested"] += 1
+                if not slab(rblo[rb + r], rbhi[rb + r], o, iv, bt).any():
+                    continue
+                agg["rows_pass"] += 1
+                occ = mt_any(rv0[rb + r], rv0[rb + r] + re1[rb + r],
+                             rv0[rb + r] + re2[rb + r], o, d, bt)
+                bt = np.where(occ, -1.0, bt)
+        agg["occl"] += ((bt < 0).sum() - (TILE - alive0)) / max(1, alive0)
+    T = agg["tiles"]
+    print(f"SHADOW tiles={T} pairs/tile={agg['pairs'] / T:.1f} "
+          f"executed={agg['exec'] / T:.1f} early-skipped={agg['skip'] / T:.1f}")
+    print(f"pre-kills/tile={agg['pre_kill'] / T:.1f} surviving="
+          f"{agg['survive'] / T:.1f} rows pass="
+          f"{agg['rows_pass'] / max(1, agg['survive']):.2f}/8 "
+          f"occluded={100 * agg['occl'] / T:.0f}%")
