@@ -627,7 +627,8 @@ def _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles, return_tn=False):
     return mask
 
 
-def _exact_any_mask(org, dirn, t_max_vec, lo, hi, n_tiles):
+def _exact_any_mask(org, dirn, t_max_vec, lo, hi, n_tiles,
+                    return_tn=False):
     """(T, C) bool, EXACT: does ANY ray of tile t hit cluster c's box?
 
     The interval-frustum mask (``_tile_mask``) is loose by construction —
@@ -640,6 +641,14 @@ def _exact_any_mask(org, dirn, t_max_vec, lo, hi, n_tiles):
     machinery+pre-test per frustum-only pair (plus its 4 KB cluster DMA)
     with a dense per-ray slab reduction here (~N·C·16 flops of fused
     XLA, chunked over tiles to bound VMEM).
+
+    With ``return_tn`` also returns the (T, C) f32 minimum slab-entry
+    distance over the tile's HITTING rays (BIG where none hit) — the
+    exact front-to-back/far-break key. It dominates the interval bound
+    (every hitting lane's true entry is ≥ this min, and non-hitting
+    lanes cannot find a hit in the cluster at all), so the kernel's
+    far break fires earlier: the interval bound was loose enough that
+    on closest bounce waves it NEVER tripped (probe_kernel_sim.py).
     """
     C = lo.shape[0]
     o = org.reshape(n_tiles, TILE, 3)
@@ -668,6 +677,9 @@ def _exact_any_mask(org, dirn, t_max_vec, lo, hi, n_tiles):
             tn = jnp.maximum(tn, jnp.minimum(t0, t1))
             tf = jnp.minimum(tf, jnp.maximum(t0, t1))
         hit = (tn <= tf) & (tc >= 0.0)[..., None]
+        if return_tn:
+            tn_min = jnp.min(jnp.where(hit, tn, BIG), axis=1)
+            return jnp.any(hit, axis=1), tn_min  # (chunk, C) ×2
         return jnp.any(hit, axis=1)  # (chunk, C)
 
     m = jax.lax.map(body, (
@@ -675,6 +687,10 @@ def _exact_any_mask(org, dirn, t_max_vec, lo, hi, n_tiles):
         iv.reshape(-1, chunk, TILE, 3),
         tm.reshape(-1, chunk, TILE),
     ))
+    if return_tn:
+        m, tn_min = m
+        return (m.reshape(-1, C)[:n_tiles],
+                tn_min.reshape(-1, C)[:n_tiles])
     return m.reshape(-1, C)[:n_tiles]
 
 
@@ -1261,8 +1277,13 @@ def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
     mask, tn_lower = _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles,
                                 return_tn=True)
     if _os.environ.get("TPURT_EXACT_MASK", "0") == "1":
-        mask = mask & _exact_any_mask(org, dirn, t_max_vec, lo, hi,
-                                      n_tiles)
+        # exact-ANY mask + the exact min-entry far-break key (strictly
+        # tighter than the interval tn: the far break actually fires on
+        # closest waves, and the front-to-back order is truer)
+        emask, etn = _exact_any_mask(org, dirn, t_max_vec, lo, hi,
+                                     n_tiles, return_tn=True)
+        mask = mask & emask
+        tn_lower = jnp.where(emask, etn, tn_lower)
     # per-tile clamp (an overfull tile drops its trailing Morton-order
     # clusters — flagged), then the global SMEM capacity cap (trailing
     # tiles lose pairs — also flagged; render_scene auto-retries with
