@@ -402,3 +402,59 @@ def test_tile_mask_is_superset_of_exact(rng):
     exact_tc = exact.reshape(n_tiles, TILE, n_c).any(axis=1)
     missed = exact_tc & ~mask
     assert not missed.any(), f"conservative mask lost {missed.sum()} pairs"
+
+
+def test_exact_mask_tn_min_is_sound_far_break_key(rng):
+    """The exact-mask min-entry key must lower-bound EVERY hitting ray's
+    true slab-entry distance for its (tile, cluster) pair (the far-break
+    soundness condition), must be at least the interval-frustum bound
+    (it is the tighter key), and must agree with a numpy reduction."""
+    from tpurt.kernels.tilewave import (
+        TILE, _exact_any_mask, _tile_mask,
+    )
+
+    n_tiles, n_c = 4, 64
+    n = n_tiles * TILE
+    org = jnp.asarray(rng.normal(size=(n, 3)) * 5.0, jnp.float32)
+    dirn = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    dirn = dirn / jnp.linalg.norm(dirn, axis=1, keepdims=True)
+    tm = jnp.where(jnp.arange(n) % 5 == 0, -1.0, 30.0).astype(jnp.float32)
+    clo = jnp.asarray(rng.uniform(-6, 5, size=(n_c, 3)), jnp.float32)
+    chi = clo + jnp.asarray(rng.uniform(0.1, 2.0, size=(n_c, 3)),
+                            jnp.float32)
+
+    emask, etn = _exact_any_mask(org, dirn, tm, clo, chi, n_tiles,
+                                 return_tn=True)
+    emask, etn = np.asarray(emask), np.asarray(etn)
+    imask, itn = _tile_mask(org, dirn, tm, clo, chi, n_tiles,
+                            return_tn=True)
+    imask, itn = np.asarray(imask), np.asarray(itn)
+
+    # numpy twin of the per-ray slab reduction
+    inv = 1.0 / np.where(np.abs(np.asarray(dirn)) < 1e-12, 1e-12,
+                         np.asarray(dirn))
+    o = np.asarray(org)
+    t0 = (np.asarray(clo)[None] - o[:, None]) * inv[:, None]
+    t1 = (np.asarray(chi)[None] - o[:, None]) * inv[:, None]
+    tn = np.maximum(np.max(np.minimum(t0, t1), axis=-1), 0.0)
+    tf = np.minimum(np.min(np.maximum(t0, t1), axis=-1),
+                    np.maximum(np.asarray(tm)[:, None], 0.0))
+    alive = np.asarray(tm)[:, None] >= 0
+    hit = (tn <= tf) & alive  # (N, C)
+    hit_t = hit.reshape(n_tiles, TILE, n_c)
+    tn_t = tn.reshape(n_tiles, TILE, n_c)
+
+    assert (emask == hit_t.any(axis=1)).all()
+    # soundness: etn ≤ every hitting ray's true entry distance
+    viol = hit_t & (tn_t < etn[:, None, :] - 1e-5)
+    assert not viol.any(), f"{viol.sum()} rays enter before the key"
+    # exactness vs the numpy min + tightness vs the interval bound
+    want = np.where(hit_t.any(axis=1),
+                    np.where(hit_t, tn_t, np.inf).min(axis=1), np.inf)
+    got = np.where(emask, etn, np.inf)
+    assert np.allclose(np.where(np.isfinite(want), want, 0.0),
+                       np.where(np.isfinite(got), got, 0.0),
+                       rtol=1e-5, atol=1e-5)
+    both = emask & imask
+    assert (etn[both] >= itn[both] - 1e-4).all(), \
+        "exact key must dominate the interval key"
