@@ -29,6 +29,11 @@ VARIANTS = {
         {"TPURT_LEAN_OCCL": "1", "TPURT_APPROX_RECIP": "1"}, []),
     "batch8": ({}, ["--spp-per-batch", "8"]),
     "unroll4": ({"TPURT_PAIR_UNROLL": "4"}, []),
+    "unroll8": ({"TPURT_PAIR_UNROLL": "8"}, []),
+    "lean+unroll4": (
+        {"TPURT_LEAN_OCCL": "1", "TPURT_PAIR_UNROLL": "4"}, []),
+    "lean+batch8": (
+        {"TPURT_LEAN_OCCL": "1"}, ["--spp-per-batch", "8"]),
     "morton_clusters": ({"TPURT_CLUSTERING": "morton"}, []),
     "kd_clusters": ({"TPURT_CLUSTERING": "kd"}, []),
     "exact_mask": ({"TPURT_EXACT_MASK": "1"}, []),
