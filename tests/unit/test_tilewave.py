@@ -458,3 +458,41 @@ def test_exact_mask_tn_min_is_sound_far_break_key(rng):
     both = emask & imask
     assert (etn[both] >= itn[both] - 1e-4).all(), \
         "exact key must dominate the interval key"
+
+
+@pytest.mark.parametrize("unroll", [1, 4, 8])
+def test_pair_unroll_matches_oracle(rng, monkeypatch, unroll):
+    """The manually-unrolled early-exit pair loop must be exact for any
+    TPURT_PAIR_UNROLL: segments of arbitrary length end mid-block, so
+    the per-slot guards and the DMA drain must stay balanced. PAIR_UNROLL
+    is bound at import, so the module is reloaded around the check."""
+    import importlib
+
+    from tpurt.kernels import tilewave as tw
+
+    monkeypatch.setenv("TPURT_PAIR_UNROLL", str(unroll))
+    importlib.reload(tw)
+    try:
+        assert tw.PAIR_UNROLL == unroll
+        scene = bunny_standin(subdivisions=3)  # 14 clusters > all-pairs max
+        meta = scene_meta(scene)
+        ds = to_device(scene)
+        accel = build_pair_accel(ds, meta, scene=scene)
+        t_closest, t_any = tw.make_tile_intersector(
+            ds, accel, interpret=True, ray_sort="octant"
+        )
+        b_closest, b_any = make_brute_force(ds, meta)
+        center = np.asarray(ds.tri_v0).mean(axis=0)
+        org, dirn = _rand_rays(rng, 1500, center, 3.0)
+        got = t_closest(org, dirn, 0.0, jnp.inf)
+        want = b_closest(org, dirn, 0.0, jnp.inf)
+        assert bool(jnp.all(got.valid == want.valid))
+        ok = np.asarray(want.valid)
+        assert np.allclose(np.asarray(got.t)[ok], np.asarray(want.t)[ok],
+                           rtol=1e-4, atol=1e-5)
+        occ_g = t_any(org, dirn, 0.0, 2.5)
+        occ_w = b_any(org, dirn, 0.0, 2.5)
+        assert bool(jnp.all(occ_g == occ_w))
+    finally:
+        monkeypatch.delenv("TPURT_PAIR_UNROLL")
+        importlib.reload(tw)
