@@ -208,11 +208,15 @@ def test_smem_path_matches_oracle(rng, monkeypatch, scene_kind):
     )
 
 
-def test_exact_mask_matches_oracle(rng, monkeypatch):
+@pytest.mark.parametrize("impl", ["pallas", "xla"])
+def test_exact_mask_matches_oracle(rng, monkeypatch, impl):
     """TPURT_EXACT_MASK=1 replaces the conservative interval-frustum
     tile mask with an exact per-ray ANY reduction — a pure pair-list
-    shrink that must not change a single result (closest AND any-hit)."""
+    shrink that must not change a single result (closest AND any-hit).
+    Both implementations (the production Pallas kernel and the lax.map
+    reference) must agree with the brute oracle."""
     monkeypatch.setenv("TPURT_EXACT_MASK", "1")
+    monkeypatch.setenv("TPURT_EXACT_IMPL", impl)
     monkeypatch.setenv("TPURT_SMEM_TRI", "1")
     scene = bunny_standin(subdivisions=3)
     meta = scene_meta(scene)
@@ -458,6 +462,38 @@ def test_exact_mask_tn_min_is_sound_far_break_key(rng):
     both = emask & imask
     assert (etn[both] >= itn[both] - 1e-4).all(), \
         "exact key must dominate the interval key"
+
+
+def test_exact_mask_pallas_matches_xla(rng):
+    """The Pallas dense exact-mask kernel (production) must reproduce
+    the lax.map reference exactly: same mask, same min-entry key —
+    including dead rays, a non-multiple-of-128 cluster count (lane
+    padding must stay empty-box), and clusters behind every ray."""
+    from tpurt.kernels.tilewave import (
+        TILE, _exact_any_mask, _exact_any_mask_pallas,
+    )
+
+    n_tiles, n_c = 3, 200  # 200 pads to 256 lanes
+    n = n_tiles * TILE
+    org = jnp.asarray(rng.normal(size=(n, 3)) * 5.0, jnp.float32)
+    dirn = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    dirn = dirn / jnp.linalg.norm(dirn, axis=1, keepdims=True)
+    tm = jnp.where(jnp.arange(n) % 7 == 0, -1.0,
+                   jnp.where(jnp.arange(n) % 3 == 0, 4.0, 30.0)
+                   ).astype(jnp.float32)
+    clo = jnp.asarray(rng.uniform(-8, 6, size=(n_c, 3)), jnp.float32)
+    chi = clo + jnp.asarray(rng.uniform(0.1, 2.0, size=(n_c, 3)),
+                            jnp.float32)
+
+    xmask, xtn = _exact_any_mask(org, dirn, tm, clo, chi, n_tiles,
+                                 return_tn=True)
+    pmask, ptn = _exact_any_mask_pallas(org, dirn, tm, clo, chi,
+                                        n_tiles, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pmask), np.asarray(xmask))
+    m = np.asarray(xmask)
+    np.testing.assert_allclose(
+        np.asarray(ptn)[m], np.asarray(xtn)[m], rtol=1e-6, atol=1e-6
+    )
 
 
 @pytest.mark.parametrize("unroll", [1, 4, 8])

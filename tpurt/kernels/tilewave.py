@@ -694,6 +694,104 @@ def _exact_any_mask(org, dirn, t_max_vec, lo, hi, n_tiles,
     return m.reshape(-1, C)[:n_tiles]
 
 
+def _exact_mask_kernel(ray_ref, box_ref, mask_ref, tn_ref, *,
+                       n_blocks: int):
+    """Dense exact-ANY tile mask, one grid step per ray tile.
+
+    Layout is the whole trick: rays ride the SUBLANE axis (``ray_ref``
+    block (TILE, 8) — field slices are (TILE, 1) columns) and clusters
+    ride the LANE axis (``box_ref`` rows are (1, Cp) slices), so each
+    ray×cluster slab op is one fat (TILE, 128) VPU op. The per-tile
+    body is ~16 ops × Cp/128 statically-unrolled blocks — no inner
+    fori/while (whose ~250 ns/iteration machinery is exactly what this
+    kernel exists to avoid, PARITY.md law 3) and a tiny jaxpr.
+
+    ray_ref  (TILE, 8) f32: ox oy oz ivx ivy ivz tm pad (tm < 0 = dead)
+    box_ref  (8, Cp) f32: lox loy loz hix hiy hiz pad pad (empty boxes
+             where padded: lo=+BIG, hi=−BIG — they can never hit)
+    mask_ref (1, Cp) f32: 1.0 where ANY live ray of the tile hits
+    tn_ref   (1, Cp) f32: min slab-entry over the tile's HITTING rays
+             (BIG where none) — the exact far-break key
+    """
+    o = [ray_ref[:, a:a + 1] for a in range(3)]
+    iv = [ray_ref[:, 3 + a:4 + a] for a in range(3)]
+    tm = ray_ref[:, 6:7]
+    alive = tm >= 0.0
+    tf0 = jnp.maximum(tm, 0.0)
+    tile = ray_ref.shape[0]
+    for b in range(n_blocks):
+        sl = pl.ds(b * 128, 128)
+        tn = jnp.zeros((tile, 128), jnp.float32)
+        tf = jnp.broadcast_to(tf0, (tile, 128))
+        for a in range(3):
+            lo_a = box_ref[a:a + 1, sl]
+            hi_a = box_ref[3 + a:4 + a, sl]
+            t0 = (lo_a - o[a]) * iv[a]
+            t1 = (hi_a - o[a]) * iv[a]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        hit = (tn <= tf) & alive
+        mask_ref[0:1, sl] = jnp.any(
+            hit, axis=0, keepdims=True
+        ).astype(jnp.float32)
+        tn_ref[0:1, sl] = jnp.min(
+            jnp.where(hit, tn, BIG), axis=0, keepdims=True
+        )
+
+
+def _exact_any_mask_pallas(org, dirn, t_max_vec, lo, hi, n_tiles,
+                           interpret=False):
+    """Pallas twin of ``_exact_any_mask(..., return_tn=True)``.
+
+    The XLA lax.map version measured ~6× the VPU floor on hardware
+    (sequential 8-tile chunks under a while loop); at bench scale its
+    cost canceled exactly the in-kernel pair savings it bought
+    (session-7 A/B wash). This kernel runs the same N·C·16-flop slab
+    reduction at ~4 µs/tile, which flips the exact mask from a wash to
+    a win: traversal segments carry only EXACT pairs (bounce ~96 vs 296
+    frustum, shadow ~8 vs 135 — probe_cluster.py), so the traversal
+    kernel pays DMA + machinery only where a real ray·box hit exists.
+
+    Returns (mask (T, C) bool, tn_min (T, C) f32).
+    """
+    C = lo.shape[0]
+    n = org.shape[0]
+    cp = ((C + 127) // 128) * 128
+    inv = 1.0 / jnp.where(jnp.abs(dirn) < 1e-12,
+                          jnp.where(dirn >= 0.0, 1e-12, -1e-12), dirn)
+    ray_pack = jnp.concatenate(
+        [org, inv, t_max_vec[:, None],
+         jnp.zeros((n, 1), jnp.float32)], axis=1,
+    )  # (N, 8)
+    boxes = jnp.full((8, cp), BIG, jnp.float32)
+    boxes = boxes.at[3:6, :].set(-BIG)
+    boxes = boxes.at[0:3, :C].set(jnp.asarray(lo).T)
+    boxes = boxes.at[3:6, :C].set(jnp.asarray(hi).T)
+
+    mask_f, tn = pl.pallas_call(
+        functools.partial(_exact_mask_kernel, n_blocks=cp // 128),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, cp), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, cp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(ray_pack, boxes)
+    return mask_f[:, :C] > 0.5, tn[:, :C]
+
+
 def _octant_sort_keys(org, dirn, t_max_vec, scene_lo, scene_hi):
     """Direction-octant-major, origin-Morton-minor coherence keys.
 
@@ -1274,16 +1372,23 @@ def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
             n_pairs=n_pairs, overflow=overflow, pair_meta=pair_meta,
             inv_xform=inv_xform, tn_scale=None,
         )
-    mask, tn_lower = _tile_mask(org, dirn, t_max_vec, lo, hi, n_tiles,
-                                return_tn=True)
     if _os.environ.get("TPURT_EXACT_MASK", "0") == "1":
         # exact-ANY mask + the exact min-entry far-break key (strictly
         # tighter than the interval tn: the far break actually fires on
-        # closest waves, and the front-to-back order is truer)
-        emask, etn = _exact_any_mask(org, dirn, t_max_vec, lo, hi,
-                                     n_tiles, return_tn=True)
-        mask = mask & emask
-        tn_lower = jnp.where(emask, etn, tn_lower)
+        # closest waves, and the front-to-back order is truer). The
+        # exact mask is a subset of the interval-frustum one, so the
+        # interval pass is skipped entirely. TPURT_EXACT_IMPL=xla keeps
+        # the lax.map reference implementation for A/B and tests.
+        if _os.environ.get("TPURT_EXACT_IMPL", "pallas") == "xla":
+            mask, tn_lower = _exact_any_mask(
+                org, dirn, t_max_vec, lo, hi, n_tiles, return_tn=True)
+        else:
+            mask, tn_lower = _exact_any_mask_pallas(
+                org, dirn, t_max_vec, lo, hi, n_tiles,
+                interpret=interpret)
+    else:
+        mask, tn_lower = _tile_mask(org, dirn, t_max_vec, lo, hi,
+                                    n_tiles, return_tn=True)
     # per-tile clamp (an overfull tile drops its trailing Morton-order
     # clusters — flagged), then the global SMEM capacity cap (trailing
     # tiles lose pairs — also flagged; render_scene auto-retries with
