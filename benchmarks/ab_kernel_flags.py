@@ -37,8 +37,13 @@ VARIANTS = {
     "morton_clusters": ({"TPURT_CLUSTERING": "morton"}, []),
     "kd_clusters": ({"TPURT_CLUSTERING": "kd"}, []),
     "exact_mask": ({"TPURT_EXACT_MASK": "1"}, []),
+    "exact_xla": (
+        {"TPURT_EXACT_MASK": "1", "TPURT_EXACT_IMPL": "xla"}, []),
     "exact+lean": (
         {"TPURT_EXACT_MASK": "1", "TPURT_LEAN_OCCL": "1"}, []),
+    "exact+lean+unroll4": (
+        {"TPURT_EXACT_MASK": "1", "TPURT_LEAN_OCCL": "1",
+         "TPURT_PAIR_UNROLL": "4"}, []),
     "all_on": (
         {"TPURT_EXACT_MASK": "1", "TPURT_LEAN_OCCL": "1",
          "TPURT_APPROX_RECIP": "1"}, []),

@@ -1345,7 +1345,7 @@ TILES_PER_LAUNCH = 256
 def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
                       n_clusters, pcap, per_tile_clamp, interpret,
                       any_hit, all_pairs=False, pair_meta=None,
-                      inv_xform=None):
+                      inv_xform=None, exact_ok=True):
     """Pair-loop twin of ``_trace_tiles``: builds per-tile pair SEGMENTS
     (offsets + tile-major cluster list, no sentinels — a tile with zero
     pairs simply iterates nothing; its output block is always initialized
@@ -1372,13 +1372,18 @@ def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
             n_pairs=n_pairs, overflow=overflow, pair_meta=pair_meta,
             inv_xform=inv_xform, tn_scale=None,
         )
-    if _os.environ.get("TPURT_EXACT_MASK", "0") == "1":
+    exact_env = _os.environ.get("TPURT_EXACT_MASK", "0")
+    use_exact = exact_env == "all" or (exact_env == "1" and exact_ok)
+    if use_exact:
         # exact-ANY mask + the exact min-entry far-break key (strictly
         # tighter than the interval tn: the far break actually fires on
         # closest waves, and the front-to-back order is truer). The
         # exact mask is a subset of the interval-frustum one, so the
         # interval pass is skipped entirely. TPURT_EXACT_IMPL=xla keeps
         # the lax.map reference implementation for A/B and tests.
+        # Gated to SORTED (incoherent) waves by default: coherent
+        # screen-tile primary waves match ~18 pairs/tile where the dense
+        # mask (~4 µs/tile) cannot pay for itself ("all" forces it on).
         if _os.environ.get("TPURT_EXACT_IMPL", "pallas") == "xla":
             mask, tn_lower = _exact_any_mask(
                 org, dirn, t_max_vec, lo, hi, n_tiles, return_tn=True)
@@ -1705,7 +1710,8 @@ def make_tile_intersector(ds, accel: PairAccel, *,
                     org[s:e], dirn[s:e], tmv[s:e], lo_d, hi_d, rows_d,
                     n_clusters=n_clusters, pcap=pcap,
                     per_tile_clamp=pairs_per_tile, interpret=interpret,
-                    any_hit=any_hit, **tlkw,
+                    any_hit=any_hit,
+                    exact_ok=sort in ("morton", "octant"), **tlkw,
                 ))
             else:
                 outs.append(_trace_tiles(
