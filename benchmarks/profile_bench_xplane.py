@@ -23,14 +23,20 @@ def main():
     from tpurt.render import render_scene
     from tpurt.utils.config import get_config
 
-    overrides = dict(width=800, height=600, spp=8, spp_per_batch=2,
-                     max_bounces=2)
+    scene = "bunny"
+    if "--scene" in sys.argv:
+        scene = sys.argv[sys.argv.index("--scene") + 1]
+    if scene == "bunny":
+        overrides = dict(width=800, height=600, spp=8, spp_per_batch=2,
+                         max_bounces=2)
+    else:
+        overrides = {}  # the ladder preset's own shape
     if "--spp-per-batch" in sys.argv:
         overrides["spp_per_batch"] = int(
             sys.argv[sys.argv.index("--spp-per-batch") + 1])
-    config = get_config("bunny", **overrides)
-    warm = get_config("bunny", **{**overrides,
-                                  "spp": overrides["spp_per_batch"]})
+    config = get_config(scene, **overrides)
+    warm = get_config(scene, **{**overrides,
+                                "spp": config.spp_per_batch})
     t0 = time.perf_counter()
     render_scene(warm, readback_stats=False)
     print(f"warmup {time.perf_counter() - t0:.1f}s", flush=True)

@@ -57,9 +57,16 @@ import os as _os
 # the cost of wider tile unions (env-tunable for benchmarking).
 TILE = int(_os.environ.get("TPURT_TILE_SIZE", 1024))
 SUB = TILE // 128  # sublane rows per field
-# pair-loop unroll factor (see _tileloop_kernel): 2 measured best vs 1;
-# higher factors trade loop machinery for code size / guard ops
-PAIR_UNROLL = int(_os.environ.get("TPURT_PAIR_UNROLL", 2))
+# pair-loop unroll factor (see _tileloop_kernel): trades while-loop
+# machinery (~250 ns/iter) for code size / guard ops. Hardware A/B
+# (benchmarks/ab_results.jsonl): 4 beats 2 by ~5% e2e; 8 regresses.
+PAIR_UNROLL = int(_os.environ.get("TPURT_PAIR_UNROLL", 4))
+# interpret-mode unroll: an EXPLICIT env value is honored (the unroll
+# oracle tests exercise guard/DMA-drain balance at 1/4/8 on CPU); the
+# hardware default stays 2 under interpret so the CPU test suite keeps
+# compact jaxprs (unrolling only pays on hardware — PARITY.md law 3)
+PAIR_UNROLL_INTERP = (PAIR_UNROLL if "TPURT_PAIR_UNROLL" in _os.environ
+                      else 2)
 _TPR = 12
 _LANES_PER_TRI = 10
 
@@ -695,48 +702,55 @@ def _exact_any_mask(org, dirn, t_max_vec, lo, hi, n_tiles,
 
 
 def _exact_mask_kernel(ray_ref, box_ref, mask_ref, tn_ref, *,
-                       n_blocks: int):
-    """Dense exact-ANY tile mask, one grid step per ray tile.
+                       n_blocks: int, group: int):
+    """Dense exact-ANY tile mask, one grid step per GROUP of ray tiles.
 
     Layout is the whole trick: rays ride the SUBLANE axis (``ray_ref``
-    block (TILE, 8) — field slices are (TILE, 1) columns) and clusters
-    ride the LANE axis (``box_ref`` rows are (1, Cp) slices), so each
-    ray×cluster slab op is one fat (TILE, 128) VPU op. The per-tile
-    body is ~16 ops × Cp/128 statically-unrolled blocks — no inner
-    fori/while (whose ~250 ns/iteration machinery is exactly what this
-    kernel exists to avoid, PARITY.md law 3) and a tiny jaxpr.
+    block (group·TILE, 8) — field slices are (TILE, 1) columns) and
+    clusters ride the LANE axis (``box_ref`` rows are (1, Cp) slices),
+    so each ray×cluster slab op is one fat (TILE, 128) VPU op. The
+    per-tile body is ~16 ops × Cp/128 statically-unrolled blocks — no
+    inner fori/while (whose ~250 ns/iteration machinery is exactly what
+    this kernel exists to avoid, PARITY.md law 3) and a tiny jaxpr.
+    Tiles are processed in groups of ``group`` (= 8) because the Mosaic
+    lowering requires output block sublane dims divisible by 8 — a
+    (1, Cp) per-tile output block is rejected on hardware (the
+    round-2 session-7 A/B launch failure); grouping also amortizes the
+    grid machinery 8×.
 
-    ray_ref  (TILE, 8) f32: ox oy oz ivx ivy ivz tm pad (tm < 0 = dead)
+    ray_ref  (group·TILE, 8) f32: ox oy oz ivx ivy ivz tm pad
+             (tm < 0 = dead; trailing-tile padding rides as dead rays)
     box_ref  (8, Cp) f32: lox loy loz hix hiy hiz pad pad (empty boxes
              where padded: lo=+BIG, hi=−BIG — they can never hit)
-    mask_ref (1, Cp) f32: 1.0 where ANY live ray of the tile hits
-    tn_ref   (1, Cp) f32: min slab-entry over the tile's HITTING rays
+    mask_ref (group, Cp) f32: 1.0 where ANY live ray of tile g hits
+    tn_ref   (group, Cp) f32: min slab-entry over tile g's HITTING rays
              (BIG where none) — the exact far-break key
     """
-    o = [ray_ref[:, a:a + 1] for a in range(3)]
-    iv = [ray_ref[:, 3 + a:4 + a] for a in range(3)]
-    tm = ray_ref[:, 6:7]
-    alive = tm >= 0.0
-    tf0 = jnp.maximum(tm, 0.0)
-    tile = ray_ref.shape[0]
-    for b in range(n_blocks):
-        sl = pl.ds(b * 128, 128)
-        tn = jnp.zeros((tile, 128), jnp.float32)
-        tf = jnp.broadcast_to(tf0, (tile, 128))
-        for a in range(3):
-            lo_a = box_ref[a:a + 1, sl]
-            hi_a = box_ref[3 + a:4 + a, sl]
-            t0 = (lo_a - o[a]) * iv[a]
-            t1 = (hi_a - o[a]) * iv[a]
-            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        hit = (tn <= tf) & alive
-        mask_ref[0:1, sl] = jnp.any(
-            hit, axis=0, keepdims=True
-        ).astype(jnp.float32)
-        tn_ref[0:1, sl] = jnp.min(
-            jnp.where(hit, tn, BIG), axis=0, keepdims=True
-        )
+    for g in range(group):
+        rows = pl.ds(g * TILE, TILE)
+        o = [ray_ref[rows, a:a + 1] for a in range(3)]
+        iv = [ray_ref[rows, 3 + a:4 + a] for a in range(3)]
+        tm = ray_ref[rows, 6:7]
+        alive = tm >= 0.0
+        tf0 = jnp.maximum(tm, 0.0)
+        for b in range(n_blocks):
+            sl = pl.ds(b * 128, 128)
+            tn = jnp.zeros((TILE, 128), jnp.float32)
+            tf = jnp.broadcast_to(tf0, (TILE, 128))
+            for a in range(3):
+                lo_a = box_ref[a:a + 1, sl]
+                hi_a = box_ref[3 + a:4 + a, sl]
+                t0 = (lo_a - o[a]) * iv[a]
+                t1 = (hi_a - o[a]) * iv[a]
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            hit = (tn <= tf) & alive
+            mask_ref[g:g + 1, sl] = jnp.any(
+                hit, axis=0, keepdims=True
+            ).astype(jnp.float32)
+            tn_ref[g:g + 1, sl] = jnp.min(
+                jnp.where(hit, tn, BIG), axis=0, keepdims=True
+            )
 
 
 def _exact_any_mask_pallas(org, dirn, t_max_vec, lo, hi, n_tiles,
@@ -757,39 +771,47 @@ def _exact_any_mask_pallas(org, dirn, t_max_vec, lo, hi, n_tiles,
     C = lo.shape[0]
     n = org.shape[0]
     cp = ((C + 127) // 128) * 128
+    group = 8  # Mosaic output-block sublane rule (see kernel docstring)
+    tp = ((n_tiles + group - 1) // group) * group
     inv = 1.0 / jnp.where(jnp.abs(dirn) < 1e-12,
                           jnp.where(dirn >= 0.0, 1e-12, -1e-12), dirn)
     ray_pack = jnp.concatenate(
         [org, inv, t_max_vec[:, None],
          jnp.zeros((n, 1), jnp.float32)], axis=1,
     )  # (N, 8)
+    if tp != n_tiles:
+        # trailing-group padding: dead rays (tm = −1) never hit
+        pad = jnp.zeros(((tp - n_tiles) * TILE, 8), jnp.float32)
+        pad = pad.at[:, 6].set(-1.0)
+        ray_pack = jnp.concatenate([ray_pack, pad])
     boxes = jnp.full((8, cp), BIG, jnp.float32)
     boxes = boxes.at[3:6, :].set(-BIG)
     boxes = boxes.at[0:3, :C].set(jnp.asarray(lo).T)
     boxes = boxes.at[3:6, :C].set(jnp.asarray(hi).T)
 
     mask_f, tn = pl.pallas_call(
-        functools.partial(_exact_mask_kernel, n_blocks=cp // 128),
-        grid=(n_tiles,),
+        functools.partial(_exact_mask_kernel, n_blocks=cp // 128,
+                          group=group),
+        grid=(tp // group,),
         in_specs=[
-            pl.BlockSpec((TILE, 8), lambda i: (i, 0),
+            pl.BlockSpec((group * TILE, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, cp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, cp), lambda i: (i, 0),
+            pl.BlockSpec((group, cp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cp), lambda i: (i, 0),
+            pl.BlockSpec((group, cp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, cp), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, cp), jnp.float32),
+            jax.ShapeDtypeStruct((tp, cp), jnp.float32),
+            jax.ShapeDtypeStruct((tp, cp), jnp.float32),
         ],
         interpret=interpret,
     )(ray_pack, boxes)
-    return mask_f[:, :C] > 0.5, tn[:, :C]
+    return mask_f[:n_tiles, :C] > 0.5, tn[:n_tiles, :C]
 
 
 def _octant_sort_keys(org, dirn, t_max_vec, scene_lo, scene_hi):
@@ -997,6 +1019,7 @@ def _tileloop_kernel(
     n_out: int = 4,
     smem_tri: bool = True,
     lean_any: bool = False,
+    unroll: int = 2,
 ):
     """Grid-over-TILES pair-loop kernel (round-2 production traversal).
 
@@ -1289,13 +1312,13 @@ def _tileloop_kernel(
     def body(carry):
         p, _ = carry
         pair_body(p)
-        for k in range(1, PAIR_UNROLL):
+        for k in range(1, unroll):
 
             @pl.when(p + k < e)
             def _(k=k):
                 pair_body(p + k)
 
-        nxt = p + PAIR_UNROLL
+        nxt = p + unroll
         # done check for the next block = the early-out pair_body(nxt)
         # would compute: every lane's best t already beats nxt's entry
         # lower bound, or (any-hit) every lane is occluded or dead
@@ -1487,10 +1510,11 @@ def _launch_tiles_loop(off, pair_cl, org, dirn, t_max_vec, tri_rows, *,
     (ray_pack,) = jax.lax.optimization_barrier((ray_pack,))
     smem_tri = _os.environ.get(
         "TPURT_SMEM_TRI", "" if interpret else "1") == "1"
-    # TPURT_LEAN_OCCL=1: occlusion traces compile their own lean variant
-    # (division-free OR-fold body) instead of sharing the closest-hit
-    # kernel via the runtime flag — one extra Mosaic compile per config.
-    lean_any = any_hit and _os.environ.get("TPURT_LEAN_OCCL", "0") == "1"
+    # TPURT_LEAN_OCCL (default on): occlusion traces compile their own
+    # lean variant (division-free OR-fold body) instead of sharing the
+    # closest-hit kernel via the runtime flag — one extra Mosaic compile
+    # per config, cheaper occlusion inner loop (A/B: +1.7% e2e).
+    lean_any = any_hit and _os.environ.get("TPURT_LEAN_OCCL", "1") == "1"
     scratch = []
     if smem_tri:
         scratch = [
@@ -1511,7 +1535,9 @@ def _launch_tiles_loop(off, pair_cl, org, dirn, t_max_vec, tri_rows, *,
     out = pl.pallas_call(
         functools.partial(_tileloop_kernel, two_level=two_level,
                           n_out=n_out, smem_tri=smem_tri,
-                          lean_any=lean_any),
+                          lean_any=lean_any,
+                          unroll=PAIR_UNROLL if not interpret
+                          else PAIR_UNROLL_INTERP),
         grid_spec=grid_spec,
         out_shape=[out_shape],
         interpret=interpret,
