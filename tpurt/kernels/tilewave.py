@@ -726,31 +726,45 @@ def _exact_mask_kernel(ray_ref, box_ref, mask_ref, tn_ref, *,
     tn_ref   (group, Cp) f32: min slab-entry over tile g's HITTING rays
              (BIG where none) — the exact far-break key
     """
+    # ray rows are processed in RCH-row chunks accumulated into the
+    # output refs: full-TILE (1024, 128) intermediates put the kernel
+    # ~21 MB over the ~16 MB scoped-VMEM stack limit on v5e (measured
+    # launch failure); (RCH, 128) temps keep the stack ~1 MB.
+    RCH = 256
     for g in range(group):
-        rows = pl.ds(g * TILE, TILE)
-        o = [ray_ref[rows, a:a + 1] for a in range(3)]
-        iv = [ray_ref[rows, 3 + a:4 + a] for a in range(3)]
-        tm = ray_ref[rows, 6:7]
-        alive = tm >= 0.0
-        tf0 = jnp.maximum(tm, 0.0)
         for b in range(n_blocks):
             sl = pl.ds(b * 128, 128)
-            tn = jnp.zeros((TILE, 128), jnp.float32)
-            tf = jnp.broadcast_to(tf0, (TILE, 128))
-            for a in range(3):
-                lo_a = box_ref[a:a + 1, sl]
-                hi_a = box_ref[3 + a:4 + a, sl]
-                t0 = (lo_a - o[a]) * iv[a]
-                t1 = (hi_a - o[a]) * iv[a]
-                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-            hit = (tn <= tf) & alive
-            mask_ref[g:g + 1, sl] = jnp.any(
-                hit, axis=0, keepdims=True
-            ).astype(jnp.float32)
-            tn_ref[g:g + 1, sl] = jnp.min(
-                jnp.where(hit, tn, BIG), axis=0, keepdims=True
-            )
+            mask_ref[g:g + 1, sl] = jnp.zeros((1, 128), jnp.float32)
+            tn_ref[g:g + 1, sl] = jnp.full((1, 128), BIG, jnp.float32)
+        for rc in range(TILE // RCH):
+            rows = pl.ds(g * TILE + rc * RCH, RCH)
+            o = [ray_ref[rows, a:a + 1] for a in range(3)]
+            iv = [ray_ref[rows, 3 + a:4 + a] for a in range(3)]
+            tm = ray_ref[rows, 6:7]
+            alive = tm >= 0.0
+            tf0 = jnp.maximum(tm, 0.0)
+            for b in range(n_blocks):
+                sl = pl.ds(b * 128, 128)
+                tn = jnp.zeros((RCH, 128), jnp.float32)
+                tf = jnp.broadcast_to(tf0, (RCH, 128))
+                for a in range(3):
+                    lo_a = box_ref[a:a + 1, sl]
+                    hi_a = box_ref[3 + a:4 + a, sl]
+                    t0 = (lo_a - o[a]) * iv[a]
+                    t1 = (hi_a - o[a]) * iv[a]
+                    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                hit = (tn <= tf) & alive
+                mask_ref[g:g + 1, sl] = jnp.maximum(
+                    mask_ref[g:g + 1, sl],
+                    jnp.any(hit, axis=0, keepdims=True
+                            ).astype(jnp.float32),
+                )
+                tn_ref[g:g + 1, sl] = jnp.minimum(
+                    tn_ref[g:g + 1, sl],
+                    jnp.min(jnp.where(hit, tn, BIG), axis=0,
+                            keepdims=True),
+                )
 
 
 def _exact_any_mask_pallas(org, dirn, t_max_vec, lo, hi, n_tiles,
