@@ -48,7 +48,7 @@ ROWS_PER_CLUSTER = TRIS_PER_CLUSTER // TPR
 BIG = np.float32(3.4e38)
 
 
-SHADE_LANES = 32  # record stride: 4 records per 128-lane row
+SHADE_LANES = 32  # record stride (one (n_slots, 32) row per slot)
 # record layout (lane offsets within the 32-lane record):
 #   0:3   world geometric normal (inst normal matrix · object cross, raw)
 #   3:6   world shading normal at v0 (raw; interpolate then normalize)
@@ -67,10 +67,14 @@ class PairAccel(NamedTuple):
         (v0.xyz, e1.xyz, e2.xyz, slot-id; 12 per row; zero padding rows
         have det 0 ⇒ Möller–Trumbore miss, slot −1).
     prim_tri/prim_inst: flat slot → (global tri id, instance id).
-    shade_rows: (ceil(slots/4), 128) f32 — per-slot WORLD-space shading
-        record (SHADE_LANES layout above), 4 records per row. One row
-        gather per hit replaces ~10 per-field XLA gathers + the instance
+    shade_rows: (n_slots, SHADE_LANES) f32 — per-slot WORLD-space shading
+        record (layout above), one direct row per slot. One row gather
+        per hit replaces ~10 per-field XLA gathers + the instance
         normal-matrix einsum (each measured ~10 ms per 960k-ray bounce).
+        Direct 32-lane rows (vs the earlier 4-records-per-128-lane-row
+        packing) drop the 4-way sub-record select AND shrink the
+        gather-output relayout copy XLA inserts before shading math
+        (measured 17.6 ms per 960k-ray shade on the (N, 128) form).
     """
 
     cluster_lo: np.ndarray
@@ -369,7 +373,7 @@ def _host_shading(ds: DeviceScene | None, meta: SceneMeta, scene=None):
 
 def build_shade_rows(ds: DeviceScene, meta: SceneMeta, v0, v1, v2,
                      tri_id, inst_id, n_slots: int, scene=None):
-    """(ceil(n_slots/4), 128) world-space shading records (SHADE_LANES)."""
+    """(n_slots, SHADE_LANES) world-space shading records."""
     (tn0, tn1, tn2, tmat, inst_nrm, inst_over, mk, ma, me, mp0,
      mp1, tuv, mtex) = _host_shading(ds, meta, scene)
     t = tri_id.shape[0]
@@ -405,13 +409,7 @@ def build_shade_rows(ds: DeviceScene, meta: SceneMeta, v0, v1, v2,
     rec[:t, 24:26] = tuv[1][tri_id]
     rec[:t, 26:28] = tuv[2][tri_id]
     rec[:t, 28] = mtex[mid]
-    n_rows = -(-n_slots // 4)
-    pad_rows = n_rows * 4 - n_slots
-    if pad_rows:
-        rec = np.concatenate(
-            [rec, np.zeros((pad_rows, SHADE_LANES), np.float32)]
-        )
-    return rec.reshape(n_rows, 128)
+    return rec
 
 
 class PairAccelTL(NamedTuple):
@@ -582,12 +580,7 @@ def build_pair_accel_two_level(ds: DeviceScene, meta: SceneMeta,
     rec[:, 24:26] = tuv[1][gt]
     rec[:, 26:28] = tuv[2][gt]
     rec[:, 28] = mtex[mid]
-    pad_rows = (-n_slots) % 4
-    if pad_rows:
-        rec = np.concatenate(
-            [rec, np.zeros((pad_rows, SHADE_LANES), np.float32)]
-        )
-    shade_rows = rec.reshape(-1, 128)
+    shade_rows = rec
 
     # --- per-instance normal matrix + material override table
     n_inst = len(meta.inst_mesh)

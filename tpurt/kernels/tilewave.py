@@ -824,6 +824,13 @@ def _exact_any_mask_pallas(org, dirn, t_max_vec, lo, hi, n_tiles,
             jax.ShapeDtypeStruct((tp, cp), jnp.float32),
         ],
         interpret=interpret,
+        # the (group·TILE, 8) ray block lane-pads to (8,128) tiles in
+        # VMEM (4 MB, double-buffered) and the unrolled body's live
+        # ranges overlap — ~21 MB scoped VMEM at bench scale, over the
+        # 16 MB DEFAULT cap. v5e has 128 MB physical VMEM; raise the cap.
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(ray_pack, boxes)
     return mask_f[:n_tiles, :C] > 0.5, tn[:n_tiles, :C]
 
@@ -1409,7 +1416,10 @@ def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
             n_pairs=n_pairs, overflow=overflow, pair_meta=pair_meta,
             inv_xform=inv_xform, tn_scale=None,
         )
-    exact_env = _os.environ.get("TPURT_EXACT_MASK", "0")
+    # default ON (hardware A/B 2026-08-18: bunny 7.38 → 8.26 Mrays/s with
+    # the Pallas mask gated to sorted waves); "0" reverts to the
+    # interval-frustum mask, "all" forces it onto coherent waves too
+    exact_env = _os.environ.get("TPURT_EXACT_MASK", "1")
     use_exact = exact_env == "all" or (exact_env == "1" and exact_ok)
     if use_exact:
         # exact-ANY mask + the exact min-entry far-break key (strictly

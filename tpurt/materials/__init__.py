@@ -176,16 +176,13 @@ def resolve_hit_packed(shade_rows, org, dirn, t, u, v, slot,
     ONE row gather from the baked world-space shade table replaces ~10
     per-field XLA gathers + the instance normal-matrix einsum (each
     measured ~10 ms per 960k-ray bounce on the axon TPU — XLA gathers of
-    (N,3) rows run ~3.7 ns/element there). Records are 32 lanes, 4 per
-    128-lane physical row; the sub-record is picked with a 4-way select.
+    (N,3) rows run ~3.7 ns/element there). Records are direct 32-lane
+    rows: the earlier 4-records-per-128-lane-row packing paid a 4-way
+    sub-record select plus a 17.6 ms (N, 128) relayout copy per shade
+    (session-8 xplane profile).
     """
     slot_c = jnp.maximum(slot, 0)
-    rows = shade_rows[slot_c // 4]  # (N, 128) — the one gather
-    sub = slot_c % 4
-    rec = rows[:, 0:32]
-    for k in (1, 2, 3):
-        rec = jnp.where((sub == k)[:, None], rows[:, 32 * k:32 * (k + 1)],
-                        rec)
+    rec = shade_rows[slot_c]  # (N, SHADE_LANES) — the one gather
 
     w = 1.0 - u - v
     n_geom = normalize(rec[:, 0:3])
@@ -236,12 +233,7 @@ def resolve_hit_packed_tl(shade_rows, inst_table, org, dirn, t, u, v,
     instances — XLA gathers cost ~4 ns/element on this backend, a dense
     (N, I) contraction is cheaper; gather fallback above that)."""
     slot_c = jnp.maximum(slot, 0)
-    rows = shade_rows[slot_c // 4]  # (N, 128) — the one gather
-    sub = slot_c % 4
-    rec = rows[:, 0:32]
-    for k in (1, 2, 3):
-        rec = jnp.where((sub == k)[:, None], rows[:, 32 * k:32 * (k + 1)],
-                        rec)
+    rec = shade_rows[slot_c]  # (N, SHADE_LANES) — the one gather
 
     n_inst = inst_table.shape[0]
     i_c = jnp.clip(inst, 0, n_inst - 1)
