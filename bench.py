@@ -84,7 +84,9 @@ def make_parser():
     ap.add_argument("--width", type=int, default=800)
     ap.add_argument("--height", type=int, default=600)
     ap.add_argument("--spp", type=int, default=8)
-    ap.add_argument("--spp-per-batch", type=int, default=2,
+    # 8 spp/batch matches the bunny preset and measured +6.7% on hardware
+    # vs 2 (fewer stage dispatches per frame; benchmarks/ab_results.jsonl)
+    ap.add_argument("--spp-per-batch", type=int, default=8,
                     dest="spp_per_batch")
     ap.add_argument("--max-bounces", type=int, default=2,
                     dest="max_bounces")

@@ -376,9 +376,44 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         def resolve(state):
             return _to_raster(*_resolve_sharded(state))
 
+    # TPURT_FUSE_STAGES=1: halve the program count per bounce by fusing
+    # raygen into the primary trace and shade into the occlusion trace.
+    # Every fused program still contains at most ONE traversal Pallas
+    # call with shading fused around it (the documented miscompile needs
+    # TWO translation kernels with shading between them), and the
+    # stage-blocked walls show ~40 ms of tunnel dispatch baseline per
+    # program on this backend — fewer programs is a direct e2e win if
+    # the fused forms compile clean (hardware A/B gates the default).
+    def raygen_trace0_body(ds, accel, cam, seed, sample0):
+        state = raygen_body(cam, seed, sample0)
+        return _trace_body(ds, accel, state, wave="primary")
+
+    def shade_occlude_body(ds, accel, state, hit, seed, sample0, bounce):
+        state, shadow = shade_body(ds, accel, state, hit, seed, sample0,
+                                   bounce)
+        if config.use_nee:
+            state = occlude_body(ds, accel, state, shadow)
+        return state
+
+    if mesh is None:
+        raygen_trace0 = jax.jit(raygen_trace0_body)
+        shade_occlude = jax.jit(shade_occlude_body)
+    else:
+        raygen_trace0 = _smap(
+            raygen_trace0_body,
+            in_specs=(P(), P(), Camera(P(), P(), P(), P()), P(), P()),
+            out_specs=(hit_spec, state_spec),
+        )
+        shade_occlude = _smap(
+            shade_occlude_body,
+            in_specs=(P(), P(), state_spec, hit_spec, P(), P(), P()),
+            out_specs=state_spec,
+        )
+
     import os
     import time
 
+    fuse = os.environ.get("TPURT_FUSE_STAGES", "0") == "1"
     debug = os.environ.get("TPURT_DEBUG_STAGES") == "1"
 
     def _dbg(name, value):
@@ -389,6 +424,19 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
                   flush=True)
 
     def render_batch(cam, seed, sample0):
+        if fuse and config.shading_mode != "flat":
+            hit = state = None
+            for bounce in range(config.max_bounces + 1):
+                if bounce == 0:
+                    hit, state = raygen_trace0(ds, accel, cam, seed,
+                                               sample0)
+                else:
+                    hit, state = traceN(ds, accel, state)
+                _dbg(f"trace[{bounce}]", hit.t)
+                state = shade_occlude(ds, accel, state, hit, seed,
+                                      sample0, jnp.uint32(bounce))
+                _dbg(f"shade_occlude[{bounce}]", state.radiance)
+            return resolve(state)
         state = raygen(cam, seed, sample0)
         _dbg("raygen", state.org)
         if config.shading_mode == "flat":
