@@ -413,7 +413,9 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     import os
     import time
 
-    fuse = os.environ.get("TPURT_FUSE_STAGES", "0") == "1"
+    # default ON: 9.27 vs 8.91 Mrays/s unfused on the hardware bunny bench
+    # (benchmarks/ab_results.jsonl); bit-exact vs the unfused path
+    fuse = os.environ.get("TPURT_FUSE_STAGES", "1") == "1"
     debug = os.environ.get("TPURT_DEBUG_STAGES") == "1"
 
     def _dbg(name, value):
