@@ -410,12 +410,39 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             out_specs=state_spec,
         )
 
+    # TPURT_FUSE_BOUNCES=1 (default OFF, single-chip only): the WHOLE
+    # batch — raygen, every bounce's trace + shade + occlusion, resolve —
+    # as ONE program. This is the multi-traversal program shape this
+    # backend is documented to miscompile (module docstring), but the
+    # trace program already carries mask-kernel + traversal Pallas calls
+    # and runs fine, so the law may really be about shading fused BETWEEN
+    # traversal kernels at specific shapes. Cutting 7 programs → 1 is
+    # worth ~0.24 s of dispatch baseline on the bunny bench (~+25%) if it
+    # compiles clean — qualify with an expendable-subprocess hardware A/B
+    # before ever defaulting it on.
+    def whole_batch_body(ds, accel, cam, seed, sample0):
+        state = raygen_body(cam, seed, sample0)
+        for bounce in range(config.max_bounces + 1):
+            hit, state = _trace_body(
+                ds, accel, state,
+                wave="primary" if bounce == 0 else "bounce",
+            )
+            state, shadow = shade_body(
+                ds, accel, state, hit, seed, sample0, jnp.uint32(bounce)
+            )
+            if shadow is not None:
+                state = occlude_body(ds, accel, state, shadow)
+        return _to_raster(*resolve_body(state))
+
+    whole_batch = jax.jit(whole_batch_body) if mesh is None else None
+
     import os
     import time
 
     # default ON: 9.27 vs 8.91 Mrays/s unfused on the hardware bunny bench
     # (benchmarks/ab_results.jsonl); bit-exact vs the unfused path
     fuse = os.environ.get("TPURT_FUSE_STAGES", "1") == "1"
+    fuse_bounces = os.environ.get("TPURT_FUSE_BOUNCES", "0") == "1"
     debug = os.environ.get("TPURT_DEBUG_STAGES") == "1"
 
     def _dbg(name, value):
@@ -426,6 +453,9 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
                   flush=True)
 
     def render_batch(cam, seed, sample0):
+        if (fuse_bounces and whole_batch is not None
+                and config.shading_mode != "flat"):
+            return whole_batch(ds, accel, cam, seed, sample0)
         if fuse and config.shading_mode != "flat":
             hit = state = None
             for bounce in range(config.max_bounces + 1):
