@@ -67,3 +67,43 @@ def test_staged_matches_mega_bvh():
 def test_staged_flat_shading():
     config = get_config("hello_triangle", width=64, height=48)
     _compare(hello_triangle(), config)
+
+
+@pytest.mark.parametrize("variant", ["stages", "bounces"])
+def test_fusion_variants_bit_exact(monkeypatch, variant):
+    """TPURT_FUSE_STAGES keeps every per-bounce program boundary intact
+    inside each fused pair, so it must be BIT-exact vs the unfused
+    staged pipeline. TPURT_FUSE_BOUNCES puts the whole batch in one
+    program — XLA reassociates across bounce boundaries there, so a few
+    ulp-sensitive path decisions (shadow contrib > 0, Fresnel branch)
+    may reroute: tolerance-compare like the mega-vs-staged tests."""
+    scene = cornell_box(path_tracer=True)
+    config = get_config(
+        "cornell_pt", width=40, height=32, spp_per_batch=2, max_bounces=3,
+    )
+    meta = scene_meta(scene)
+    ds = to_device(scene)
+
+    monkeypatch.setenv("TPURT_FUSE_STAGES", "0")
+    monkeypatch.setenv("TPURT_FUSE_BOUNCES", "0")
+    base = make_staged_renderer(ds, None, meta=meta, config=config)
+    img_b, rays_b = base(scene.camera, jnp.uint32(5), jnp.uint32(8))
+
+    if variant == "stages":
+        monkeypatch.setenv("TPURT_FUSE_STAGES", "1")
+    else:
+        monkeypatch.setenv("TPURT_FUSE_BOUNCES", "1")
+    fused = make_staged_renderer(ds, None, meta=meta, config=config)
+    img_f, rays_f = fused(scene.camera, jnp.uint32(5), jnp.uint32(8))
+
+    if variant == "stages":
+        np.testing.assert_array_equal(
+            np.asarray(img_f), np.asarray(img_b))
+        np.testing.assert_array_equal(
+            np.asarray(rays_f), np.asarray(rays_b))
+    else:
+        np.testing.assert_allclose(
+            np.asarray(rays_f), np.asarray(rays_b), rtol=1e-3)
+        diff = np.abs(np.asarray(img_f) - np.asarray(img_b))
+        assert float((diff > 1e-3).mean()) < 0.02, (diff > 1e-3).mean()
+        assert float(np.sqrt((diff ** 2).mean())) < 1e-2
