@@ -54,7 +54,8 @@ def probe_machinery(batch):
         x = x_ref[...]
         acc = x
         for _ in range(batch):
-            io = jax.lax.broadcasted_iota(jnp.float32, (128, 128), 0)
+            io = jax.lax.broadcasted_iota(
+                jnp.int32, (128, 128), 0).astype(jnp.float32)
             acc = jnp.where(io >= acc, acc * 0.999, acc + 0.001)
         o_ref[...] = acc
 
@@ -141,13 +142,14 @@ def probe_onehot_placement(rows=8):
 
     def kernel(bits_ref, data_ref, o_ref):
         bits = bits_ref[...]  # (rows, 128) 0/1 f32
-        lower = (jax.lax.broadcasted_iota(jnp.float32, (128, 128), 0)
-                 <= jax.lax.broadcasted_iota(jnp.float32, (128, 128), 1)
+        lower = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+                 <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
                  ).astype(jnp.float32)
         pos = jnp.dot(bits, lower,
                       preferred_element_type=jnp.float32)  # (rows,128)
         acc = jnp.zeros((128, 8), jnp.float32)
-        io = jax.lax.broadcasted_iota(jnp.float32, (128, 128), 0)
+        io = jax.lax.broadcasted_iota(
+            jnp.int32, (128, 128), 0).astype(jnp.float32)
         for r in range(rows):
             onehot = ((pos[r:r + 1, :] == io + 1.0)
                       & (bits[r:r + 1, :] > 0.5)).astype(jnp.float32)
