@@ -114,7 +114,10 @@ PRESETS = {
         max_bounces=0, use_nee=False, shading_mode="flat", intersector="auto",
     ),
     "cornell": RenderConfig(
-        scene="cornell", width=512, height=512, spp=64, spp_per_batch=8,
+        # 16 spp/batch: small waves are dispatch-RTT-bound — fatter
+        # programs overlap the per-dispatch RTT (ladder 4.7 -> measured
+        # 58 Mrays/s in a 1-batch variant); 512*512*16 == the 4M clamp
+        scene="cornell", width=512, height=512, spp=64, spp_per_batch=16,
         max_bounces=0, use_nee=True, intersector="auto",
     ),
     "bunny": RenderConfig(
@@ -122,7 +125,8 @@ PRESETS = {
         max_bounces=2, use_nee=True, intersector="auto",
     ),
     "cornell_pt": RenderConfig(
-        scene="cornell_pt", width=512, height=512, spp=256, spp_per_batch=8,
+        scene="cornell_pt", width=512, height=512, spp=256,
+        spp_per_batch=16,
         max_bounces=4, use_nee=True, intersector="auto",
     ),
     "sponza": RenderConfig(
