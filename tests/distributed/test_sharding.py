@@ -164,10 +164,6 @@ def test_staged_twolevel_distributed_equals_single():
     cfg = get_config(
         "sponza", width=48, height=24, spp=1, spp_per_batch=1,
         max_bounces=1, intersector="bvh_tile", pipeline="staged",
-        # exact budgets: truncation under a global cap depends on the
-        # per-shard tile count, so a capped run is not shard-invariant
-        # (render_scene's auto-retry handles that in production)
-        pairs_avg=0, pairs_avg_bounce=0, pairs_avg_shadow=0,
     )
     meta = scene_meta(scene)
     ds = to_device(scene)

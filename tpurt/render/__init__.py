@@ -27,6 +27,15 @@ from tpurt.utils.config import RenderConfig, get_config
 _SCENE_CACHE: dict = {}
 
 
+class BudgetOverflowError(RuntimeError):
+    """Pair-budget overflow persisted after all budget-doubling retries.
+
+    The render proceeded with truncated traversal — trailing clusters were
+    dropped and the image is missing hits. Raised (instead of returning a
+    silently-wrong image) unless TPURT_ALLOW_OVERFLOW=1.
+    """
+
+
 def build_accel(config: RenderConfig, ds, meta, scene=None):
     """Pick the intersector (SURVEY.md §2.2 G2): dense brute force for tiny
     scenes (returns None), LBVH traversal otherwise (returns SceneAccel).
@@ -143,8 +152,14 @@ def render_scene(
     ``max_budget_retries`` times; ``budget_retries`` records how many
     doublings were needed. Requires ``readback_stats`` (the flag lives on
     device otherwise).
+
+    If the overflow persists after the last retry the image is WRONG
+    (truncated traversal) and ``BudgetOverflowError`` is raised; set
+    ``TPURT_ALLOW_OVERFLOW=1`` to downgrade it to a warning and return
+    the truncated image anyway (stats still record the overflow).
     """
     import dataclasses
+    import os
 
     state0 = state
     retries = 0
@@ -153,8 +168,27 @@ def render_scene(
             config, scene, camera, state0, verbose, readback_stats
         )
         stats["budget_retries"] = retries
-        if not stats.get("pair_overflow") or retries >= max_budget_retries:
+        if not stats.get("pair_overflow"):
             return out_state, stats
+        if retries >= max_budget_retries:
+            msg = (
+                f"pair-budget overflow persists after {retries} "
+                f"budget-doubling retries "
+                f"({stats.get('pair_overflow_events', '?')} overflow "
+                f"events this frame; budgets now avg="
+                f"{config.pairs_avg}/{config.pairs_avg_bounce}/"
+                f"{config.pairs_avg_shadow}, per_tile="
+                f"{config.pairs_per_tile}) — traversal was truncated and "
+                "the image is wrong. Raise the pairs_* budgets in the "
+                "config, or set TPURT_ALLOW_OVERFLOW=1 to accept the "
+                "truncated image."
+            )
+            if os.environ.get("TPURT_ALLOW_OVERFLOW") == "1":
+                import warnings
+
+                warnings.warn(msg, RuntimeWarning)
+                return out_state, stats
+            raise BudgetOverflowError(msg)
         retries += 1
         dbl = lambda v: v * 2 if v > 0 else 0
         config = dataclasses.replace(
@@ -337,6 +371,7 @@ def _render_scene_once(
         "rays_traced": n_rays,
         "rays_estimated": estimated,
         "pair_overflow": bool(rays[2] > 0.0) if rays.shape[0] > 2 else False,
+        "pair_overflow_events": float(rays[2]) if rays.shape[0] > 2 else 0.0,
         "mrays_per_s": n_rays / max(elapsed, 1e-9) / 1e6,
     }
     return state, stats
