@@ -58,11 +58,21 @@ def child_main(args) -> int:
     mrays = stats["mrays_per_s"]
     platform = jax.devices()[0].platform
     device = str(jax.devices()[0])
+    # VPU-utilization analog of MFU (BASELINE.md roofline): useful work =
+    # the per-ray-EXACT traversal demand (~20k f32 lane-ops/ray measured
+    # on bunny: 6 clusters/ray × 96 tris × 35 lane-ops/MT test) against
+    # the 3.9 T lane-ops/s v5e VPU ceiling. Redundant tile-union work
+    # does NOT count as useful — this tracks progress toward the
+    # per-ray-exact roofline (~190 Mrays/s), not kernel busyness.
+    LANE_OPS_PER_RAY = 20e3  # bunny-measured; order-of-magnitude for others
+    VPU_LANE_OPS = 3.9e12
+    vpu_util = mrays * 1e6 * LANE_OPS_PER_RAY / VPU_LANE_OPS
     result = {
         "metric": f"Mrays/sec/chip ({args.scene})",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 150.0, 4),
+        "mfu": round(vpu_util, 4),
         "detail": {
             "scene": args.scene,
             "resolution": f"{args.width}x{args.height}",

@@ -9,6 +9,14 @@ ladder poisons every config after the first — reproduced in round 2
 "TPU worker crashed" tunnel fault, like bench.py.
 
 Usage: python benchmarks/run.py [--cpu] [--quick] [--configs bunny,...]
+               [--check] [--update-floors]
+
+``--check`` is the perf-regression gate (SURVEY.md §4.4 item 6): every
+measured config is compared against the committed floor in
+benchmarks/perf_floors.json ("quick" table for --quick, else "full");
+any config below its floor — or any config that errors — exits 1
+CI-style. ``--update-floors`` rewrites the floors to 80% of this run's
+numbers (use only after a verified improvement).
 """
 
 import argparse
@@ -71,10 +79,42 @@ def child_main(args) -> int:
     return 0
 
 
+FLOORS_PATH = os.path.join(os.path.dirname(__file__), "perf_floors.json")
+
+
+def check_floors(rows, floors):
+    """Gate logic: (failures, skipped) given measured rows + floor table.
+
+    A row fails if it errored or its mrays_per_s is below the committed
+    floor; configs without a floor are skipped (reported, not failed).
+    Pure function — unit-tested in tests/unit/test_perf_gate.py."""
+    failures, skipped = [], []
+    for r in rows:
+        name = r.get("config", "?")
+        floor = floors.get(name)
+        if r.get("error"):
+            failures.append(f"{name}: run errored (no measurement)")
+            continue
+        if floor is None:
+            skipped.append(name)
+            continue
+        got = r.get("mrays_per_s", 0.0)
+        if got < floor:
+            failures.append(
+                f"{name}: {got} Mrays/s < floor {floor} "
+                f"(regression or mis-configured run)"
+            )
+    return failures, skipped
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--check", action="store_true",
+                    help="gate against benchmarks/perf_floors.json")
+    ap.add_argument("--update-floors", action="store_true",
+                    help="rewrite floors to 80%% of this run")
     ap.add_argument("--configs", default=None,
                     help="comma-separated subset")
     ap.add_argument("--retries", type=int, default=3)
@@ -90,6 +130,7 @@ def main():
 
     want = set(args.configs.split(",")) if args.configs else None
     rows = []
+    all_rows = []  # includes errored configs (the gate fails on those)
     for name, over, quick in LADDER:
         if want and name not in want:
             continue
@@ -116,17 +157,47 @@ def main():
         if not rec:
             rec = {"config": name, "error": True}
             print(json.dumps(rec))
+            all_rows.append(rec)
             continue
         rows.append(rec)
+        all_rows.append(rec)
         print(json.dumps(rec))
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
+
+    if args.update_floors:
+        key = "quick" if args.quick else "full"
+        with open(FLOORS_PATH) as f:
+            floors_doc = json.load(f)
+        for r in rows:
+            floors_doc.setdefault(key, {})[r["config"]] = round(
+                r["mrays_per_s"] * 0.8, 1
+            )
+        with open(FLOORS_PATH, "w") as f:
+            json.dump(floors_doc, f, indent=2)
+            f.write("\n")
+        print(f"floors[{key}] ← 0.8 × this run → {FLOORS_PATH}")
+
+    gate_rc = 0
+    if args.check:
+        key = "quick" if args.quick else "full"
+        with open(FLOORS_PATH) as f:
+            floors = json.load(f).get(key, {})
+        failures, skipped = check_floors(all_rows, floors)
+        for s in skipped:
+            print(f"PERF-GATE skip: {s} (no committed floor)")
+        for msg in failures:
+            print(f"PERF-GATE FAIL: {msg}")
+        if failures:
+            gate_rc = 1
+        else:
+            print(f"PERF-GATE ok: {len(all_rows)} config(s) ≥ floors")
 
     # only a FULL ladder on the real device refreshes the committed table
     # (a --configs/--cpu/--quick subset run would clobber it with partial
     # or CPU rows)
     if want or args.cpu or args.quick:
-        return
+        sys.exit(gate_rc)
     md = os.path.join(os.path.dirname(__file__), "..",
                       "BASELINE_MEASURED.md")
     with open(md, "w") as f:
@@ -143,6 +214,7 @@ def main():
                 f"{'RETRY x' + str(r['budget_retries']) if r['budget_retries'] else 'ok'} |\n"
             )
     print(f"table → {md}")
+    sys.exit(gate_rc)
 
 
 if __name__ == "__main__":
