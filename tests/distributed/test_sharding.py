@@ -1,9 +1,11 @@
 """Multi-chip tests on the virtual 8-device CPU mesh (SURVEY.md §4.5).
 
 The key property (SURVEY.md §4.4): sharding must not change radiometry —
-an N-chip render equals the single-chip render of the same global sample
-window, because randomness is a pure function of (seed, sample index,
-pixel id), never of the shard layout.
+an N-chip render is BIT-IDENTICAL to the single-chip render of the same
+global sample window: randomness is a pure function of (seed, sample
+index, pixel id), per-ray traversal/shading is elementwise, and the
+sample merge is a fixed-order unrolled sum matching the progressive
+loop's order (not a layout-reassociating psum) — SURVEY.md §4.4.
 """
 
 import jax
@@ -58,8 +60,8 @@ def _single_chip_reference(scene, cfg, meta, ds, accel, n_sample):
 @pytest.mark.parametrize("n_sample,n_tile", [(1, 8), (8, 1), (2, 4)])
 def test_distributed_equals_single_chip(cornell_setup, n_sample, n_tile):
     """Tile shards assemble the full frame; sample shards cover disjoint
-    sample windows; the result equals the 1-chip render of the same
-    window (order-of-summation float tolerance only)."""
+    sample windows; the result is bit-identical to the 1-chip render of
+    the same window (fixed-order sample merge)."""
     scene, cfg, meta, ds = cornell_setup
     mesh = make_render_mesh(n_sample, n_tile)
 
@@ -74,7 +76,7 @@ def test_distributed_equals_single_chip(cornell_setup, n_sample, n_tile):
     assert samples_added == n_sample * cfg.spp_per_batch
 
     ref = _single_chip_reference(scene, cfg, meta, ds, None, n_sample)
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(out), ref)
 
 
 def test_distributed_deterministic(cornell_setup):
@@ -122,9 +124,7 @@ def test_staged_tile_distributed_equals_single(n_sample, n_tile):
         )
         ref = ref + img
         counts_s = counts_s + c
-    np.testing.assert_allclose(
-        np.asarray(img_d), np.asarray(ref), rtol=2e-5, atol=2e-5
-    )
+    np.testing.assert_array_equal(np.asarray(img_d), np.asarray(ref))
     np.testing.assert_allclose(
         np.asarray(counts_d)[:2], np.asarray(counts_s)[:2]
     )
@@ -146,9 +146,8 @@ def test_staged_tile_distributed_via_render_scene():
     s_dist, stats = render_scene(sharded)
     s_single, _ = render_scene(cfg)
     assert stats["spp"] == 2
-    np.testing.assert_allclose(
-        np.asarray(fb.resolve(s_dist)), np.asarray(fb.resolve(s_single)),
-        rtol=2e-5, atol=2e-5,
+    np.testing.assert_array_equal(
+        np.asarray(fb.resolve(s_dist)), np.asarray(fb.resolve(s_single))
     )
 
 
@@ -177,9 +176,7 @@ def test_staged_twolevel_distributed_equals_single():
     for sid in range(2):
         img, _ = single(scene.camera, jnp.uint32(SEED), jnp.uint32(sid))
         ref = ref + img
-    np.testing.assert_allclose(
-        np.asarray(img_d), np.asarray(ref), rtol=2e-5, atol=2e-5
-    )
+    np.testing.assert_array_equal(np.asarray(img_d), np.asarray(ref))
 
 
 def test_distributed_with_bvh(cornell_setup):
@@ -196,4 +193,4 @@ def test_distributed_with_bvh(cornell_setup):
     )
     out = out[: cfg.height]
     ref = _single_chip_reference(scene, cfg, meta, ds, accel, 2)
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(out), ref)

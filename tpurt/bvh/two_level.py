@@ -35,8 +35,12 @@ from tpurt.core.vecmath import intersect_tris, ray_aabb, safe_inv_dir
 from tpurt.render.intersectors import Hit, SceneMeta, transform_ray
 from tpurt.scene.device import DeviceScene
 
-DONE = jnp.int32(-2)
-EXIT = jnp.int32(-1)
+# numpy scalars: module-level jnp constants would initialize the XLA
+# backend at import, breaking jax.distributed.initialize() (init_multihost)
+import numpy as _np
+
+DONE = _np.int32(-2)
+EXIT = _np.int32(-1)
 
 
 class SceneAccel(NamedTuple):

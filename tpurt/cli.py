@@ -46,6 +46,16 @@ def _add_config_overrides(ap: argparse.ArgumentParser) -> None:
                     choices=["nearest", "bilinear"],
                     help="base-color sampling (bilinear = glTF LINEAR)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--multihost", action="store_true",
+                    help="jax.distributed.initialize() before rendering "
+                         "(TPU pods: run the same command on every host)")
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port (multihost; "
+                         "omit on TPU pods for auto-detection)")
+    ap.add_argument("--num-processes", type=int, dest="num_processes",
+                    help="total process count (multihost)")
+    ap.add_argument("--process-id", type=int, dest="process_id",
+                    help="this process's index (multihost)")
 
 
 def _build_config(args):
@@ -68,6 +78,15 @@ def _maybe_cpu(args) -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "multihost", False):
+        from tpurt.parallel.mesh import init_multihost
+
+        pi, pc = init_multihost(
+            coordinator_address=getattr(args, "coordinator", None),
+            num_processes=getattr(args, "num_processes", None),
+            process_id=getattr(args, "process_id", None),
+        )
+        print(f"multihost: process {pi}/{pc}")
 
 
 def cmd_render(args) -> int:

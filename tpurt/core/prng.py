@@ -23,8 +23,12 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
-_GOLDEN = jnp.uint32(0x9E3779B9)
+# numpy (not jnp) scalar: a module-level jnp constant initializes the XLA
+# backend at import time, which breaks jax.distributed.initialize() (it
+# must run before ANY backend init — tpurt.parallel.mesh.init_multihost)
+_GOLDEN = np.uint32(0x9E3779B9)
 
 
 def pcg_hash(x: jnp.ndarray) -> jnp.ndarray:

@@ -33,6 +33,38 @@ from tpurt.scene.device import DeviceScene
 from tpurt.utils.config import RenderConfig
 
 
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None):
+    """Wire ``jax.distributed`` for multi-host meshes (SURVEY.md §5
+    "distributed communication backend").
+
+    On a TPU pod slice every host runs the same program; after this call
+    ``jax.devices()`` returns the GLOBAL device list, so
+    ``make_render_mesh`` lays the ("sample", "tile") mesh across hosts and
+    the existing shard_mapped stages run unchanged — XLA routes the psum
+    merges over ICI within a slice and DCN across slices. With no
+    arguments the TPU runtime auto-detects the cluster; explicit
+    (coordinator, num_processes, process_id) supports CPU/GPU clusters and
+    the single-host degenerate case (num_processes=1), which is what the
+    smoke test exercises — multi-host hardware is not available on the
+    dev box. Returns (process_index, process_count). Idempotent: a second
+    call is a no-op."""
+    import jax
+
+    if jax._src.distributed.global_state.client is not None:  # initialized
+        return jax.process_index(), jax.process_count()
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
+
+
 def make_render_mesh(n_sample_shards: int = 1, n_tile_shards: int = 1,
                      devices=None) -> Mesh:
     """("sample", "tile") mesh over the first n_sample*n_tile devices."""
@@ -91,7 +123,14 @@ def render_batch_distributed(
             ds, cam, seed, shard_sample0, accel, px, py,
             meta=meta, config=config,
         )  # (rows_per_shard * w, 3), (2,)
-        radiance = jax.lax.psum(radiance, "sample")  # X2 merge over ICI
+        # X2 merge over ICI: all_gather + fixed-order unrolled sum, NOT
+        # psum — psum reassociates floats layout-dependently; this order
+        # equals the single-chip progressive loop's, making the N-chip
+        # frame bit-identical to the 1-chip frame (SURVEY.md §4.4)
+        g = jax.lax.all_gather(radiance, "sample")
+        radiance = g[0]
+        for s in range(1, mesh.shape["sample"]):
+            radiance = radiance + g[s]
         counts = jax.lax.psum(counts, ("sample", "tile"))
         return radiance.reshape(rows_per_shard, w, 3), counts
 

@@ -186,7 +186,8 @@ def path_trace_rays(
 
 
 def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
-                      config: RenderConfig, wave: str = "bounce"):
+                      config: RenderConfig, wave: str = "bounce",
+                      lean: bool = True):
     """Closest/any-hit pair: Pallas packet kernel (PacketAccel), two-level
     jnp BVH (SceneAccel), or dense brute force (tiny scenes / oracle).
 
@@ -194,7 +195,13 @@ def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
     "primary" (camera waves — static screen-tile order, small budget) or
     "bounce" (incoherent waves — octant sort, large budget). The staged
     pipeline compiles one trace stage per kind; the megakernel uses the
-    conservative "bounce" settings for all depths."""
+    conservative "bounce" settings for all depths.
+
+    ``lean`` (tile intersector only): the render pipelines shade through
+    the packed slot resolver, so by default Hit.tri/Hit.inst are POISONED
+    to −1 (the prim_tri/prim_inst gathers are dead weight, ~4 ns/elt × 2N
+    per trace). External callers that need real triangle/instance ids
+    must pass ``lean=False``."""
     if accel is None:
         return make_brute_force(ds, meta)
     from tpurt.bvh.cluster import PacketAccel
@@ -212,8 +219,6 @@ def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
             )
         from tpurt.kernels.tilewave import make_tile_intersector
 
-        # lean: the pipelines shade through the packed resolver (slot
-        # only), so the Hit tri/inst gathers are skipped
         if wave == "primary":
             sort = config.tile_primary_sort
             avg = config.pairs_avg
@@ -230,7 +235,7 @@ def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
             # kernel variant per config
             pairs_avg_cap=max(config.pairs_avg, config.pairs_avg_bounce,
                               config.pairs_avg_shadow),
-            lean=True,
+            lean=lean,
         )
     if isinstance(accel, PacketAccel) or (
         isinstance(accel, tuple) and hasattr(accel, "tri_rows")

@@ -40,6 +40,7 @@ from tpurt.core.prng import TAG_JITTER, PixelSampler
 from tpurt.core.vecmath import dot
 from tpurt.render.integrator import SHADOW_EPS, make_intersectors
 from tpurt.render.intersectors import SceneMeta
+from tpurt.utils.aotcache import cached_jit
 from tpurt.utils.config import RenderConfig
 
 
@@ -171,6 +172,20 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         def _smap(body, in_specs, out_specs):
             return jax.jit(body)
 
+    # Single-chip stages go through the AOT executable cache: the remote
+    # Mosaic service ignores the XLA persistent cache (~100–140 s per
+    # Pallas-bearing program, 840 s cold bunny warmup in round 2), but
+    # serialized executables reload in milliseconds
+    # (benchmarks/probe_aot_cache.py; tpurt.utils.aotcache). Mesh-mode
+    # (shard_map) programs stay on plain jit — multi-chip layouts are not
+    # exercised on this box and sharding metadata is the risky surface.
+    cfg_key = repr(config)
+
+    def _cjit(body, name):
+        if mesh is not None:
+            return jax.jit(body)
+        return cached_jit(body, name, cfg_key)
+
     def raygen_body(cam: Camera, seed, sample0) -> WaveState:
         pxl, pyl, _, _ = _local_ctx()
         sampler = _sampler(seed, sample0)
@@ -189,7 +204,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         )
 
     if mesh is None:
-        raygen = jax.jit(raygen_body)
+        raygen = _cjit(raygen_body, "raygen")
     else:
         raygen = _smap(
             raygen_body,
@@ -218,7 +233,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     def _make_trace(wave):
         body = functools.partial(_trace_body, wave=wave)
         if mesh is None:
-            return jax.jit(body)
+            return _cjit(body, f"trace_{wave}")
         return _smap(
             body,
             in_specs=(P(), P(), state_spec),
@@ -303,7 +318,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         return new, shadow
 
     if mesh is None:
-        shade = jax.jit(shade_body)
+        shade = _cjit(shade_body, "shade")
     else:
         shade = _smap(
             shade_body,
@@ -331,7 +346,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         return state._replace(radiance=radiance, rays=rays)
 
     if mesh is None:
-        occlude = jax.jit(occlude_body)
+        occlude = _cjit(occlude_body, "occlude")
     else:
         occlude = _smap(
             occlude_body,
@@ -340,10 +355,21 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         )
 
     def resolve_body(state: WaveState):
-        """Per-shard per-pixel sums (+ the X2 sample-axis psum merge)."""
+        """Per-shard per-pixel sums (+ the X2 sample-axis merge).
+
+        The sample merge is an all_gather + FIXED-ORDER unrolled sum
+        (sample 0 + sample 1 + …) instead of psum: psum's reduction
+        order is layout-dependent (float reassociation), while this
+        order is exactly the single-chip progressive loop's — an N-chip
+        render is BIT-IDENTICAL to the 1-chip render of the same sample
+        window (SURVEY.md §4.4; tests/distributed asserts exact
+        equality). Same ICI traffic as psum at these sizes."""
         total = state.radiance.reshape(spp, local_px, 3).sum(axis=0)
         if mesh is not None:
-            total = jax.lax.psum(total, "sample")  # X2 merge over ICI
+            g = jax.lax.all_gather(total, "sample")  # (n_sample, px, 3)
+            total = g[0]
+            for s in range(1, n_sample):
+                total = total + g[s]
         return total, state.rays
 
     def _to_raster(total, rays):
@@ -362,8 +388,8 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         return img.reshape(h, w, 3), rays
 
     if mesh is None:
-        resolve = jax.jit(
-            lambda state: _to_raster(*resolve_body(state))
+        resolve = _cjit(
+            lambda state: _to_raster(*resolve_body(state)), "resolve"
         )
     else:
         _resolve_sharded = _smap(
@@ -396,8 +422,8 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         return state
 
     if mesh is None:
-        raygen_trace0 = jax.jit(raygen_trace0_body)
-        shade_occlude = jax.jit(shade_occlude_body)
+        raygen_trace0 = _cjit(raygen_trace0_body, "raygen_trace0")
+        shade_occlude = _cjit(shade_occlude_body, "shade_occlude")
     else:
         raygen_trace0 = _smap(
             raygen_trace0_body,
@@ -434,7 +460,8 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
                 state = occlude_body(ds, accel, state, shadow)
         return _to_raster(*resolve_body(state))
 
-    whole_batch = jax.jit(whole_batch_body) if mesh is None else None
+    whole_batch = (_cjit(whole_batch_body, "whole_batch")
+                   if mesh is None else None)
 
     import os
     import time
@@ -487,8 +514,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
                 _dbg(f"occlude[{bounce}]", state.radiance)
         return resolve(state)
 
-    @jax.jit
-    def _flat_resolve(ds, accel, state: WaveState, hit):
+    def _flat_resolve_body(ds, accel, state: WaveState, hit):
         attrs = materials.make_resolver(
             ds, accel, texture_filter=config.texture_filter)(
             state.org, state.dirn, hit.t, hit.u, hit.v, hit.tri,
@@ -498,5 +524,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             hit.valid[:, None], attrs.albedo, ds.background
         )
         return resolve(state._replace(radiance=radiance))
+
+    _flat_resolve = _cjit(_flat_resolve_body, "flat_resolve")
 
     return render_batch

@@ -1,0 +1,184 @@
+"""AOT executable cache — kills the remote-Mosaic warmup (VERDICT r2 #2).
+
+The tunneled axon TPU backend compiles every Pallas-bearing program
+through a remote Mosaic service that takes ~100–140 s per program and
+ignores the XLA persistent compilation cache (PARITY.md law 4) — a cold
+bunny bench spent 840 s compiling to run 1.16 s of work. The only layer
+left to cache is the loaded executable itself:
+``jax.experimental.serialize_executable`` pickles the compiled PJRT
+executable, and deserialize_and_load on this backend restores it without
+touching Mosaic (verified by benchmarks/probe_aot_cache.py).
+
+``cached_jit(fn, name, static_key)`` wraps a function like ``jax.jit``:
+the first call per argument-shape set either loads the executable from
+``$TPURT_AOT_CACHE_DIR`` (default ``~/.cache/tpurt_aot``) or compiles,
+serializes, and stores it. The cache key hashes:
+
+  * jax version + device kind/platform + jax matmul-precision config,
+  * a content hash of the tpurt kernel/render/materials sources (any
+    code change invalidates every entry),
+  * the caller's ``static_key`` (config repr, stage name, mesh shape),
+  * every kernel-shaping TPURT_* env flag,
+  * the abstract values (shape/dtype pytree) of the call arguments.
+
+Failures (unsupported backend, pickle mismatch, stale format) fall back
+to plain ``jax.jit`` with a one-line note — the cache is an
+optimization, never a correctness dependency. Disable with
+``TPURT_AOT_CACHE=0`` (CPU/interpret runs skip it automatically: local
+XLA compiles are fast and interpret-mode jaxprs don't pickle)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import tempfile
+import threading
+
+_CODE_HASH = None
+_LOCK = threading.Lock()
+
+# env flags that change the traced program or the Mosaic kernels
+_ENV_FLAGS = (
+    "TPURT_PAIR_LOOP", "TPURT_TILE_SIZE", "TPURT_PAIR_UNROLL",
+    "TPURT_LEAN_OCCL", "TPURT_EXACT_MASK", "TPURT_FUSE_STAGES",
+    "TPURT_FUSE_BOUNCES", "TPURT_ROW_SKIP", "TPURT_APPROX_RECIP",
+    "TPURT_INTERPRET_PALLAS", "TPURT_SMEM_TRI",
+)
+
+
+def _code_hash() -> str:
+    """Content hash over the sources that shape compiled programs."""
+    global _CODE_HASH
+    if _CODE_HASH is not None:
+        return _CODE_HASH
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for sub in ("kernels", "render", "materials", "bvh", "core",
+                "parallel"):
+        d = os.path.join(root, sub)
+        if not os.path.isdir(d):
+            continue
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".py"):
+                with open(os.path.join(d, fn), "rb") as f:
+                    h.update(fn.encode())
+                    h.update(f.read())
+    _CODE_HASH = h.hexdigest()[:16]
+    return _CODE_HASH
+
+
+def cache_dir() -> str:
+    return os.environ.get(
+        "TPURT_AOT_CACHE_DIR",
+        os.path.expanduser("~/.cache/tpurt_aot"),
+    )
+
+
+def enabled() -> bool:
+    if os.environ.get("TPURT_AOT_CACHE", "1") != "1":
+        return False
+    if os.environ.get("TPURT_INTERPRET_PALLAS") == "1":
+        return False  # interpret-mode callables don't serialize
+    import jax
+
+    return jax.devices()[0].platform == "tpu"
+
+
+def _key(name: str, static_key, args, kwargs) -> str:
+    import jax
+
+    dev = jax.devices()[0]
+    parts = [
+        jax.__version__,
+        getattr(dev, "device_kind", "?"),
+        dev.platform,
+        str(jax.config.jax_default_matmul_precision),
+        _code_hash(),
+        name,
+        repr(static_key),
+    ]
+    parts += [f"{k}={os.environ.get(k, '')}" for k in _ENV_FLAGS]
+    avals = jax.tree.map(
+        lambda a: (getattr(a, "shape", None), str(getattr(a, "dtype", type(a)))),
+        (args, kwargs),
+    )
+    parts.append(repr(avals))
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:32]
+
+
+def cached_jit(fn, name: str, static_key=()):
+    """jax.jit with a disk-backed executable cache (see module docstring).
+
+    Returns a callable; per argument-shape set the underlying executable
+    is loaded from disk or compiled-and-stored once."""
+    import jax
+
+    jitted = jax.jit(fn)
+    if not enabled():
+        return jitted
+
+    compiled_by_key: dict = {}
+    fell_back = [False]
+
+    def wrapper(*args, **kwargs):
+        if fell_back[0]:
+            return jitted(*args, **kwargs)
+        try:
+            key = _key(name, static_key, args, kwargs)
+        except Exception:
+            fell_back[0] = True
+            return jitted(*args, **kwargs)
+        compiled = compiled_by_key.get(key)
+        if compiled is None:
+            with _LOCK:
+                compiled = compiled_by_key.get(key)
+                if compiled is None:
+                    compiled = _load_or_compile(jitted, name, key, args,
+                                                kwargs)
+                    if compiled is None:  # unsupported → permanent fallback
+                        fell_back[0] = True
+                        return jitted(*args, **kwargs)
+                    compiled_by_key[key] = compiled
+        try:
+            return compiled(*args, **kwargs)
+        except Exception:
+            # aval drift between calls (weak types, new shapes): let the
+            # plain jit handle every future call of this wrapper
+            fell_back[0] = True
+            return jitted(*args, **kwargs)
+
+    return wrapper
+
+
+def _load_or_compile(jitted, name, key, args, kwargs):
+    from jax.experimental.serialize_executable import (
+        deserialize_and_load,
+        serialize,
+    )
+
+    d = cache_dir()
+    path = os.path.join(d, f"{name}-{key}.bin")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                ser, in_tree, out_tree = pickle.load(f)
+            return deserialize_and_load(ser, in_tree, out_tree)
+        except Exception as e:  # stale/corrupt → recompile below
+            print(f"[tpurt aot-cache] reload of {name} failed ({e}); "
+                  "recompiling")
+    try:
+        compiled = jitted.lower(*args, **kwargs).compile()
+    except Exception:
+        return None  # let the caller fall back to plain jit dispatch
+    try:
+        ser, in_tree, out_tree = serialize(compiled)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d)
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump((ser, in_tree, out_tree), f)
+        os.replace(tmp, path)  # atomic: concurrent processes race safely
+    except Exception as e:
+        print(f"[tpurt aot-cache] serialize of {name} failed ({e}); "
+              "caching disabled for this program")
+    return compiled
