@@ -56,7 +56,8 @@ SHADE_LANES = 32  # record stride (one (n_slots, 32) row per slot)
 #   12    material kind  13:16 albedo  16:19 emission
 #   19    param0  20 param1  21 material id
 #   22:24 uv at v0  24:26 uv at v1  26:28 uv at v2  28 texture id
-SHADE_USED = 29
+#   29    alpha cutoff (0 = opaque; > 0 = alpha-tested, SURVEY.md G4)
+SHADE_USED = 30
 
 
 class PairAccel(NamedTuple):
@@ -347,6 +348,7 @@ def _host_shading(ds: DeviceScene | None, meta: SceneMeta, scene=None):
         mp0 = np.zeros(k, np.float32)
         mp1 = np.zeros(k, np.float32)
         mtex = np.full(k, -1, np.float32)
+        mcut = np.zeros(k, np.float32)
         for j, m in enumerate(scene.materials):
             mk[j] = m.kind
             ma[j] = m.albedo
@@ -354,28 +356,31 @@ def _host_shading(ds: DeviceScene | None, meta: SceneMeta, scene=None):
             mp0[j] = m.param0
             mp1[j] = m.param1
             mtex[j] = getattr(m, "base_color_texture", -1)
+            mcut[j] = getattr(m, "alpha_cutoff", 0.0)
         return tn0, tn1, tn2, tmat, inst_nrm, inst_over, mk, ma, me, \
-            mp0, mp1, tuv, mtex
+            mp0, mp1, tuv, mtex, mcut
     import jax
 
     # D2H fallback — poisons axon dispatch; see _host_tris
     (tn0, tn1, tn2, tmat, inst_nrm, inst_over, mk, ma, me, mp0,
-     mp1, uv0, uv1, uv2, mtex) = jax.device_get(
+     mp1, uv0, uv1, uv2, mtex, mcut) = jax.device_get(
         (ds.tri_n0, ds.tri_n1, ds.tri_n2, ds.tri_mat, ds.inst_nrm,
          ds.inst_mat_override, ds.mat_kind, ds.mat_albedo,
          ds.mat_emission, ds.mat_param0, ds.mat_param1,
-         ds.tri_uv0, ds.tri_uv1, ds.tri_uv2, ds.mat_texture)
+         ds.tri_uv0, ds.tri_uv1, ds.tri_uv2, ds.mat_texture,
+         ds.mat_alpha_cutoff)
     )
     return (tn0, tn1, tn2, tmat, inst_nrm, inst_over,
             mk.astype(np.float32), ma, me, mp0, mp1,
-            (uv0, uv1, uv2), mtex.astype(np.float32))
+            (uv0, uv1, uv2), mtex.astype(np.float32),
+            np.asarray(mcut, np.float32))
 
 
 def build_shade_rows(ds: DeviceScene, meta: SceneMeta, v0, v1, v2,
                      tri_id, inst_id, n_slots: int, scene=None):
     """(n_slots, SHADE_LANES) world-space shading records."""
     (tn0, tn1, tn2, tmat, inst_nrm, inst_over, mk, ma, me, mp0,
-     mp1, tuv, mtex) = _host_shading(ds, meta, scene)
+     mp1, tuv, mtex, mcut) = _host_shading(ds, meta, scene)
     t = tri_id.shape[0]
     nm = inst_nrm[inst_id]  # (t, 3, 3)
     xf = lambda n: np.einsum("tij,tj->ti", nm, n).astype(np.float32)
@@ -409,6 +414,7 @@ def build_shade_rows(ds: DeviceScene, meta: SceneMeta, v0, v1, v2,
     rec[:t, 24:26] = tuv[1][tri_id]
     rec[:t, 26:28] = tuv[2][tri_id]
     rec[:t, 28] = mtex[mid]
+    rec[:t, 29] = mcut[mid]
     return rec
 
 
@@ -462,7 +468,7 @@ def build_pair_accel_two_level(ds: DeviceScene, meta: SceneMeta,
     """Object-space per-mesh clusters + per-instance cluster instances."""
     tv0, tv1, tv2, inst_tf = _host_tris(ds, meta, scene)
     (tn0, tn1, tn2, tmat, inst_nrm, inst_over, mk, ma, me, mp0,
-     mp1, tuv, mtex) = _host_shading(ds, meta, scene)
+     mp1, tuv, mtex, mcut) = _host_shading(ds, meta, scene)
 
     # --- per-mesh (BLAS): morton-sort object tris, uniform clusters
     mesh_rows = []
@@ -580,6 +586,7 @@ def build_pair_accel_two_level(ds: DeviceScene, meta: SceneMeta,
     rec[:, 24:26] = tuv[1][gt]
     rec[:, 26:28] = tuv[2][gt]
     rec[:, 28] = mtex[mid]
+    rec[:, 29] = mcut[mid]
     shade_rows = rec
 
     # --- per-instance normal matrix + material override table

@@ -103,6 +103,26 @@ def sample_base_color(tex_data, tex_meta, tex_id, tu, tv,
     return top * (1.0 - ay) + bot * ay
 
 
+def sample_alpha(tex_alpha, tex_meta, tex_id, tu, tv):
+    """Base-color ALPHA fetch (nearest) from the pool's alpha channel —
+    the alpha-cutout test (SURVEY.md G4) runs per candidate occluder, so
+    it stays one (N,) gather. ``tex_id`` < 0 reads row 0 (opaque 1.0)."""
+    n_tex = tex_meta.shape[0]
+    tid = jnp.clip(tex_id, 0, n_tex - 1)
+    meta = tex_meta[tid]
+    off = meta[:, 0].astype(jnp.int32)
+    w = jnp.maximum(meta[:, 1], 1.0)
+    h = jnp.maximum(meta[:, 2], 1.0)
+    wi = w.astype(jnp.int32)
+    hi = h.astype(jnp.int32)
+    fu = tu - jnp.floor(tu)
+    fv = tv - jnp.floor(tv)
+    tx = jnp.minimum((fu * w).astype(jnp.int32), wi - 1)
+    ty = jnp.minimum((fv * h).astype(jnp.int32), hi - 1)
+    idx = jnp.where(tex_id >= 0, off + ty * wi + tx, 0)
+    return tex_alpha[idx]
+
+
 def resolve_hit(ds: DeviceScene, org, dirn, t, u, v, tri, inst,
                 bilinear: bool = False) -> HitAttrs:
     """Gather + interpolate surface attributes for hits (G3 attribute interp).

@@ -28,7 +28,12 @@ from tpurt import materials
 from tpurt.core.camera import Camera, camera_rays, full_frame_pixels
 from tpurt.core.prng import PixelSampler, TAG_JITTER
 from tpurt.core.vecmath import dot
-from tpurt.render.intersectors import SceneMeta, make_brute_force, scene_meta
+from tpurt.render.intersectors import (
+    Hit,
+    SceneMeta,
+    make_brute_force,
+    scene_meta,
+)
 from tpurt.scene.device import DeviceScene, to_device
 from tpurt.utils.config import RenderConfig
 
@@ -250,6 +255,181 @@ def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
     return make_two_level_intersector(ds, accel, leaf_size=config.bvh_leaf_size)
 
 
+# Max alpha-skip re-traces per shadow ray (the reference's any-hit shader
+# re-enters traversal per transparent candidate; 4 transparent layers
+# covers foliage/fence cards — deeper stacks count as occluded, a
+# conservative bias shared with production GPU tracers).
+ALPHA_OCCLUSION_ROUNDS = 4
+
+
+def make_occluder(ds: DeviceScene, accel, closest, any_hit, *,
+                  meta: SceneMeta):
+    """G4 occlusion query with alpha-cutout (SURVEY.md G4 "alpha/shadow
+    filtering", VERDICT r2 missing #4).
+
+    Opaque scenes (``meta.has_alpha_cutout`` False — every ladder preset)
+    keep the lean any-hit kernel untouched. Alpha-tested scenes run the
+    TPU-shaped equivalent of the reference's any-hit shader: a bounded
+    loop of CLOSEST-hit traces; each candidate occluder samples its
+    base-color alpha at the hit UV, texels below the material cutoff are
+    skipped by advancing the ray origin past the hit and re-tracing.
+    Alpha evaluation is pure XLA between the Pallas traversal calls
+    (texture-pool gathers never enter the kernel).
+
+    Must be called INSIDE jit with traced ds/accel (closure discipline:
+    device arrays ride as jit args on the axon backend)."""
+    if not meta.has_alpha_cutout:
+        return any_hit
+    shade_rows = getattr(accel, "shade_rows", None)
+
+    def _alpha_skip(hit):
+        """True where the candidate occluder's texel is below the
+        material's alpha cutoff (the blocker is see-through there)."""
+        w = 1.0 - hit.u - hit.v
+        if shade_rows is not None:
+            rec = jnp.asarray(shade_rows)[jnp.maximum(hit.slot, 0)]
+            uv = (w[:, None] * rec[:, 22:24]
+                  + hit.u[:, None] * rec[:, 24:26]
+                  + hit.v[:, None] * rec[:, 26:28])
+            tex_id = rec[:, 28].astype(jnp.int32)
+            cut = rec[:, 29]
+        else:
+            tri = jnp.clip(hit.tri, 0, ds.tri_v0.shape[0] - 1)
+            inst = jnp.clip(hit.inst, 0, ds.inst_mesh.shape[0] - 1)
+            uv = (w[:, None] * ds.tri_uv0[tri]
+                  + hit.u[:, None] * ds.tri_uv1[tri]
+                  + hit.v[:, None] * ds.tri_uv2[tri])
+            override = ds.inst_mat_override[inst]
+            mid = jnp.where(override >= 0, override, ds.tri_mat[tri])
+            mid = jnp.clip(mid, 0, ds.mat_kind.shape[0] - 1)
+            tex_id = ds.mat_texture[mid]
+            cut = ds.mat_alpha_cutoff[mid]
+        a = materials.sample_alpha(
+            ds.tex_alpha, ds.tex_meta, tex_id, uv[:, 0], uv[:, 1]
+        )
+        return (cut > 0.0) & (a < cut)
+
+    from tpurt.core.vecmath import EPS_RAY
+
+    def _occluded(org, dirn, t_min, t_max, want_stats):
+        del t_min
+        n = org.shape[0]
+        tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+        occ = jnp.zeros(n, bool)
+        live = tmax > 0.0
+        o = org
+        stats = None
+        for _ in range(ALPHA_OCCLUSION_ROUNDS):
+            tq = jnp.where(live, tmax, -1.0)
+            if want_stats and hasattr(closest, "with_stats"):
+                hit, st = closest.with_stats(o, dirn, 0.0, tq)
+                stats = st if stats is None else jnp.stack(
+                    [stats[0] + st[0], jnp.maximum(stats[1], st[1])]
+                )
+            else:
+                hit = closest(o, dirn, 0.0, tq)
+            skip = hit.valid & _alpha_skip(hit)
+            occ = occ | (live & hit.valid & ~skip)
+            live = live & skip
+            # advance past the transparent candidate (scale-aware eps —
+            # a fixed 1e-4 vanishes in f32 at Cornell's 555-unit scale)
+            pos = o + hit.t[:, None] * dirn
+            eps = EPS_RAY * jnp.maximum(
+                1.0, jnp.max(jnp.abs(pos), axis=-1)
+            )
+            o = jnp.where(live[:, None], pos + eps[:, None] * dirn, o)
+            tmax = jnp.where(live, tmax - (hit.t + eps), tmax)
+            live = live & (tmax > 0.0)
+        occ = occ | live  # rounds exhausted → conservatively occluded
+        if want_stats:
+            if stats is None:
+                stats = jnp.zeros(2, jnp.float32)
+            return occ, stats
+        return occ
+
+    def occluded(org, dirn, t_min, t_max):
+        return _occluded(org, dirn, t_min, t_max, False)
+
+    def occluded_with_stats(org, dirn, t_min, t_max):
+        return _occluded(org, dirn, t_min, t_max, True)
+
+    if hasattr(closest, "with_stats"):
+        occluded.with_stats = occluded_with_stats
+    occluded.alpha_skip = _alpha_skip  # shared by make_cutout_closest
+    return occluded
+
+
+def make_cutout_closest(ds: DeviceScene, accel, closest, *,
+                        meta: SceneMeta):
+    """Closest-hit query that DISCARDS alpha-failed intersections (glTF
+    alphaMode=MASK applies to every ray kind, not just shadows): bounded
+    re-trace loop advancing past transparent candidates, accumulating the
+    advance into the returned world-space ``t``. Opaque scenes return
+    ``closest`` unchanged. Call inside jit (closure discipline)."""
+    if not meta.has_alpha_cutout:
+        return closest
+    # reuse the occluder's alpha probe (same record/ds layout logic)
+    alpha_skip = make_occluder(
+        ds, accel, closest, None, meta=meta
+    ).alpha_skip
+    from tpurt.core.vecmath import EPS_RAY
+
+    def _trace(org, dirn, t_min, t_max, want_stats):
+        del t_min
+        n = org.shape[0]
+        tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+        live = tmax > 0.0
+        o = org
+        t_off = jnp.zeros(n, jnp.float32)
+        best = None
+        stats = None
+        for _ in range(ALPHA_OCCLUSION_ROUNDS):
+            tq = jnp.where(live, tmax, -1.0)
+            if want_stats and hasattr(closest, "with_stats"):
+                hit, st = closest.with_stats(o, dirn, 0.0, tq)
+                stats = st if stats is None else jnp.stack(
+                    [stats[0] + st[0], jnp.maximum(stats[1], st[1])]
+                )
+            else:
+                hit = closest(o, dirn, 0.0, tq)
+            skip = hit.valid & alpha_skip(hit)
+            accept = live & ~skip  # miss or alpha-passing hit: final
+            shifted = hit._replace(t=t_off + hit.t)
+            if best is None:
+                best = shifted
+            else:
+                sel = lambda a, b: jnp.where(accept, a, b)
+                best = Hit(*(
+                    sel(fa, fb) for fa, fb in zip(shifted, best)
+                ))
+            live = live & skip
+            pos = o + hit.t[:, None] * dirn
+            eps = EPS_RAY * jnp.maximum(
+                1.0, jnp.max(jnp.abs(pos), axis=-1)
+            )
+            o = jnp.where(live[:, None], pos + eps[:, None] * dirn, o)
+            t_off = jnp.where(live, t_off + hit.t + eps, t_off)
+            tmax = jnp.where(live, tmax - (hit.t + eps), tmax)
+        # rounds exhausted with a still-transparent stack: the first
+        # candidate stands as an opaque hit (conservative, mirrors the
+        # occluder's exhausted-rounds bias)
+        if want_stats:
+            if stats is None:
+                stats = jnp.zeros(2, jnp.float32)
+            return best, stats
+        return best
+
+    def cutout_closest(org, dirn, t_min, t_max):
+        return _trace(org, dirn, t_min, t_max, False)
+
+    def cutout_with_stats(org, dirn, t_min, t_max):
+        return _trace(org, dirn, t_min, t_max, True)
+
+    if hasattr(closest, "with_stats"):
+        cutout_closest.with_stats = cutout_with_stats
+    return cutout_closest
+
+
 def render_pixels(
     ds: DeviceScene,
     cam: Camera,
@@ -271,6 +451,8 @@ def render_pixels(
     under any sharding (SURVEY.md §4.4)."""
     w, h = config.width, config.height
     closest, any_hit = make_intersectors(ds, accel, meta=meta, config=config)
+    any_hit = make_occluder(ds, accel, closest, any_hit, meta=meta)
+    closest = make_cutout_closest(ds, accel, closest, meta=meta)
     spp = config.spp_per_batch
     n_px = px.shape[0]
 

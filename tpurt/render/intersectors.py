@@ -39,6 +39,10 @@ class SceneMeta(NamedTuple):
     mesh_tri_ranges: Tuple[Tuple[int, int], ...]
     inst_mesh: Tuple[int, ...]
     num_real_tris: int
+    # any material is alpha-TESTED (cutoff > 0 with a base-color
+    # texture)? Static: selects the alpha-aware occlusion path
+    # (integrator.make_occluder) vs the lean opaque any-hit kernel
+    has_alpha_cutout: bool = False
 
 
 def scene_meta(scene) -> SceneMeta:
@@ -52,6 +56,11 @@ def scene_meta(scene) -> SceneMeta:
         mesh_tri_ranges=tuple(ranges),
         inst_mesh=tuple(i.mesh_id for i in scene.instances),
         num_real_tris=start,
+        has_alpha_cutout=any(
+            getattr(m, "alpha_cutoff", 0.0) > 0.0
+            and getattr(m, "base_color_texture", -1) >= 0
+            for m in scene.materials
+        ),
     )
 
 

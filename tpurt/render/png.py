@@ -53,8 +53,9 @@ def read_png(path: str) -> np.ndarray:
         return decode_png(f.read())
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode PNG bytes → (H, W, 3) uint8 (see read_png)."""
+def decode_png(data: bytes, keep_alpha: bool = False) -> np.ndarray:
+    """Decode PNG bytes → (H, W, 3) uint8; ``keep_alpha`` returns
+    (H, W, 4) for RGBA sources (alpha-cutout textures, SURVEY.md G4)."""
     assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG stream"
     pos = 8
     idat = b""
@@ -113,7 +114,7 @@ def decode_png(data: bytes) -> np.ndarray:
     img = out.astype(np.uint8).reshape(h, w, bpp)
     if bpp == 1:
         img = np.repeat(img, 3, axis=2)
-    elif bpp == 4:
+    elif bpp == 4 and not keep_alpha:
         img = img[:, :, :3]
     return np.ascontiguousarray(img)
 

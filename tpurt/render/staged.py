@@ -213,9 +213,14 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         )
 
     def _trace_body(ds, accel, state: WaveState, *, wave):
-        """Stage with exactly ONE Pallas call (closest hit)."""
+        """Stage with ONE Pallas call (closest hit) for opaque scenes;
+        alpha-cutout scenes re-trace past transparent candidates
+        (integrator.make_cutout_closest)."""
+        from tpurt.render.integrator import make_cutout_closest
+
         closest, _ = make_intersectors(ds, accel, meta=meta,
                                        config=config, wave=wave)
+        closest = make_cutout_closest(ds, accel, closest, meta=meta)
         inc = jnp.zeros(3, jnp.float32).at[0].set(
             jnp.sum(state.alive.astype(jnp.float32))
         )
@@ -328,8 +333,15 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         )
 
     def occlude_body(ds, accel, state: WaveState, shadow):
-        """Stage with exactly ONE Pallas call (shadow/any-hit)."""
-        _, any_hit = make_intersectors(ds, accel, meta=meta, config=config)
+        """Stage with ONE Pallas call (shadow/any-hit) for opaque scenes;
+        alpha-cutout scenes run make_occluder's bounded closest-trace
+        loop (ALPHA_OCCLUSION_ROUNDS traversal calls — the multi-
+        traversal program shape is qualified by TPURT_FUSE_BOUNCES)."""
+        from tpurt.render.integrator import make_occluder
+
+        closest, any_hit = make_intersectors(ds, accel, meta=meta,
+                                             config=config)
+        any_hit = make_occluder(ds, accel, closest, any_hit, meta=meta)
         s_org, s_dir, s_tmax, contrib, want = shadow
         inc = jnp.zeros(3, jnp.float32).at[1].set(
             jnp.sum(want.astype(jnp.float32))

@@ -149,6 +149,10 @@ def render_batch_wavefront(
     capacity = min(config.wavefront_capacity, w * h * config.spp_per_batch)
     total_paths = jnp.uint32(w * h * config.spp_per_batch)
     closest, any_hit = make_intersectors(ds, accel, meta=meta, config=config)
+    from tpurt.render.integrator import make_cutout_closest, make_occluder
+
+    any_hit = make_occluder(ds, accel, closest, any_hit, meta=meta)
+    closest = make_cutout_closest(ds, accel, closest, meta=meta)
     resolver = materials.make_resolver(
         ds, accel, texture_filter=config.texture_filter)
     use_nee = config.use_nee

@@ -75,6 +75,13 @@ class DeviceScene(NamedTuple):
 
     background: jnp.ndarray  # (3,) f32
 
+    # Alpha cutout (SURVEY.md G4): per-material cutoff (0 = opaque) and
+    # the texture pool's alpha channel ((P,) f32, 1.0 for RGB images and
+    # the fallback row) — appended fields so positional construction of
+    # older pytrees stays valid.
+    mat_alpha_cutoff: jnp.ndarray = None  # (K,) f32
+    tex_alpha: jnp.ndarray = None  # (P,) f32
+
     @property
     def num_triangles(self) -> int:
         return self.tri_v0.shape[0]
@@ -169,6 +176,7 @@ def to_device(scene: Scene, pad_to: int = 8) -> DeviceScene:
     mat_param0 = np.zeros(k, np.float32)
     mat_param1 = np.zeros(k, np.float32)
     mat_texture = np.full(k, -1, np.int32)
+    mat_alpha_cutoff = np.zeros(k, np.float32)
     for j, m in enumerate(scene.materials):
         mat_kind[j] = m.kind
         mat_albedo[j] = m.albedo
@@ -176,20 +184,29 @@ def to_device(scene: Scene, pad_to: int = 8) -> DeviceScene:
         mat_param0[j] = m.param0
         mat_param1[j] = m.param1
         mat_texture[j] = getattr(m, "base_color_texture", -1)
+        mat_alpha_cutoff[j] = getattr(m, "alpha_cutoff", 0.0)
 
-    # Texture pool: flatten every (H, W, 3) image row-major into one
-    # (P, 3) table; meta rows carry (row_offset, W, H). Both padded to at
-    # least one row so shapes stay static for untextured scenes.
+    # Texture pool: flatten every (H, W, 3|4) image row-major into one
+    # (P, 3) RGB table + (P,) alpha table; meta rows carry
+    # (row_offset, W, H). All padded to at least one row so shapes stay
+    # static for untextured scenes.
     tex_rows = [np.zeros((1, 3), np.float32)]
+    tex_alpha_rows = [np.ones(1, np.float32)]
     tex_meta = []
     off = 1  # row 0 is the white-fallback texel
     tex_rows[0][0] = 1.0
     for img in scene.textures:
         h_i, w_i = img.shape[0], img.shape[1]
-        tex_rows.append(np.asarray(img, np.float32).reshape(-1, 3))
+        flat = np.asarray(img, np.float32).reshape(h_i * w_i, -1)
+        tex_rows.append(flat[:, :3])
+        tex_alpha_rows.append(
+            flat[:, 3] if flat.shape[1] == 4
+            else np.ones(h_i * w_i, np.float32)
+        )
         tex_meta.append([off, w_i, h_i, 0.0])
         off += h_i * w_i
     tex_data = np.concatenate(tex_rows, axis=0)
+    tex_alpha = np.concatenate(tex_alpha_rows, axis=0)
     tex_meta = (np.asarray(tex_meta, np.float32) if tex_meta
                 else np.zeros((1, 4), np.float32))
 
@@ -260,4 +277,6 @@ def to_device(scene: Scene, pad_to: int = 8) -> DeviceScene:
         light_area=dev(light_area),
         num_lights=jnp.asarray(n_lights, jnp.int32),
         background=jnp.asarray(scene.background, jnp.float32),
+        mat_alpha_cutoff=dev(mat_alpha_cutoff),
+        tex_alpha=dev(tex_alpha),
     )

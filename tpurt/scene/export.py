@@ -86,6 +86,10 @@ def _gltf_material(m: Material) -> dict:
                     "emissiveStrength": strength
                 }
             }
+    cutoff = float(getattr(m, "alpha_cutoff", 0.0))
+    if cutoff > 0.0:
+        gm["alphaMode"] = "MASK"
+        gm["alphaCutoff"] = cutoff
     gm["extras"] = {
         "tpurt": {
             "kind": int(m.kind),
@@ -93,6 +97,7 @@ def _gltf_material(m: Material) -> dict:
             "emission": [float(e) for e in m.emission],
             "param0": float(m.param0),
             "param1": float(m.param1),
+            "alpha_cutoff": cutoff,
         }
     }
     return gm

@@ -146,7 +146,14 @@ def _load_images(doc: dict, buffers: List[bytes], base_dir: str,
             ]
         tex = np.ones((1, 1, 3), np.float32)
         if data is not None and data[:8] == b"\x89PNG\r\n\x1a\n":
-            tex = srgb_to_linear(decode_png(data))
+            raw_img = decode_png(data, keep_alpha=True)
+            tex = srgb_to_linear(raw_img[..., :3])
+            if raw_img.shape[2] == 4:
+                # alpha is stored LINEAR in glTF (only RGB is sRGB)
+                tex = np.concatenate(
+                    [tex, raw_img[..., 3:4].astype(np.float32) / 255.0],
+                    axis=2,
+                )
         ids.append(scene.add_texture(tex))
     return ids
 
@@ -155,6 +162,12 @@ def _material_from_gltf(gm: dict) -> Material:
     # exact tpurt parameters, written by tpurt.scene.export (glTF
     # application-specific ``extras``) — lossless round trip
     tp = gm.get("extras", {}).get("tpurt")
+    # glTF alphaMode MASK → alpha-tested material (SURVEY.md G4);
+    # BLEND is approximated as MASK at 0.5 (no transparency sorting —
+    # same approximation most RT demos make for foliage)
+    mode = gm.get("alphaMode", "OPAQUE")
+    cutoff = (float(gm.get("alphaCutoff", 0.5)) if mode == "MASK"
+              else (0.5 if mode == "BLEND" else 0.0))
     if tp is not None:
         return Material(
             kind=int(tp["kind"]),
@@ -162,6 +175,7 @@ def _material_from_gltf(gm: dict) -> Material:
             emission=tuple(tp["emission"]),
             param0=float(tp["param0"]),
             param1=float(tp["param1"]),
+            alpha_cutoff=float(tp.get("alpha_cutoff", cutoff)),
             name=gm.get("name", ""),
         )
     pbr = gm.get("pbrMetallicRoughness", {})
@@ -175,12 +189,14 @@ def _material_from_gltf(gm: dict) -> Material:
     emission = tuple(float(e) * strength for e in emissive)
     if metallic > 0.7 and roughness < 0.35:
         return Material(MIRROR, tuple(base), emission, param0=roughness,
-                        name=gm.get("name", ""))
+                        alpha_cutoff=cutoff, name=gm.get("name", ""))
     if roughness < 0.6:
         shininess = max(2.0 / max(roughness, 1e-3) ** 2, 2.0)
         return Material(BLINN_PHONG, tuple(base), emission, param0=shininess,
-                        param1=0.4 * (1.0 - roughness), name=gm.get("name", ""))
-    return Material(LAMBERT, tuple(base), emission, name=gm.get("name", ""))
+                        param1=0.4 * (1.0 - roughness), alpha_cutoff=cutoff,
+                        name=gm.get("name", ""))
+    return Material(LAMBERT, tuple(base), emission, alpha_cutoff=cutoff,
+                    name=gm.get("name", ""))
 
 
 def load_gltf(path: str, scene: Optional[Scene] = None) -> Scene:

@@ -53,6 +53,11 @@ class Material:
     # at the interpolated UV and MULTIPLIED into albedo — the glTF 2.0
     # baseColorTexture x baseColorFactor convention.
     base_color_texture: int = -1
+    # Alpha-cutout threshold (glTF alphaMode=MASK + alphaCutoff): > 0
+    # makes the material alpha-TESTED — texels whose base-color alpha is
+    # below the cutoff neither shade nor occlude (foliage/fence cards,
+    # SURVEY.md G4 "alpha/shadow filtering"). 0 = opaque (default).
+    alpha_cutoff: float = 0.0
     name: str = ""
 
     def is_emissive(self) -> bool:
@@ -147,14 +152,16 @@ class Scene:
     instances: List[Instance] = dataclasses.field(default_factory=list)
     camera: Optional[Camera] = None
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
-    # Base-color textures: (H, W, 3) f32 LINEAR-space arrays, indexed by
+    # Base-color textures: (H, W, 3) or (H, W, 4) f32 LINEAR-space arrays
+    # (alpha channel linear, used by alpha-cutout materials), indexed by
     # Material.base_color_texture (loaders convert sRGB PNGs on decode).
     textures: List[np.ndarray] = dataclasses.field(default_factory=list)
     name: str = ""
 
     def add_texture(self, image: np.ndarray) -> int:
         img = np.ascontiguousarray(image, np.float32)
-        assert img.ndim == 3 and img.shape[2] == 3, "textures are (H, W, 3)"
+        assert img.ndim == 3 and img.shape[2] in (3, 4), \
+            "textures are (H, W, 3|4)"
         self.textures.append(img)
         return len(self.textures) - 1
 
