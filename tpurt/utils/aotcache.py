@@ -34,6 +34,14 @@ import os
 import pickle
 import tempfile
 import threading
+import time
+
+_DEBUG = os.environ.get("TPURT_AOT_DEBUG") == "1"
+
+
+def _dbg(msg):
+    if _DEBUG:
+        print(f"[tpurt aot-cache] {msg}", flush=True)
 
 _CODE_HASH = None
 _LOCK = threading.Lock()
@@ -126,7 +134,8 @@ def cached_jit(fn, name: str, static_key=()):
             return jitted(*args, **kwargs)
         try:
             key = _key(name, static_key, args, kwargs)
-        except Exception:
+        except Exception as e:
+            _dbg(f"{name}: key computation failed ({e!r}); plain jit")
             fell_back[0] = True
             return jitted(*args, **kwargs)
         compiled = compiled_by_key.get(key)
@@ -142,9 +151,11 @@ def cached_jit(fn, name: str, static_key=()):
                     compiled_by_key[key] = compiled
         try:
             return compiled(*args, **kwargs)
-        except Exception:
+        except Exception as e:
             # aval drift between calls (weak types, new shapes): let the
             # plain jit handle every future call of this wrapper
+            _dbg(f"{name}: cached-executable call failed ({e!r}); "
+                 "plain jit")
             fell_back[0] = True
             return jitted(*args, **kwargs)
 
@@ -161,15 +172,23 @@ def _load_or_compile(jitted, name, key, args, kwargs):
     path = os.path.join(d, f"{name}-{key}.bin")
     if os.path.exists(path):
         try:
+            t0 = time.perf_counter()
             with open(path, "rb") as f:
                 ser, in_tree, out_tree = pickle.load(f)
-            return deserialize_and_load(ser, in_tree, out_tree)
+            t1 = time.perf_counter()
+            out = deserialize_and_load(ser, in_tree, out_tree)
+            _dbg(f"{name}: loaded ({t1 - t0:.1f}s read, "
+                 f"{time.perf_counter() - t1:.1f}s deserialize)")
+            return out
         except Exception as e:  # stale/corrupt → recompile below
-            print(f"[tpurt aot-cache] reload of {name} failed ({e}); "
-                  "recompiling")
+            print(f"[tpurt aot-cache] reload of {name} failed ({e!r}); "
+                  "recompiling", flush=True)
     try:
+        t0 = time.perf_counter()
         compiled = jitted.lower(*args, **kwargs).compile()
-    except Exception:
+        _dbg(f"{name}: compiled in {time.perf_counter() - t0:.1f}s")
+    except Exception as e:
+        _dbg(f"{name}: AOT lower/compile failed ({e!r}); plain jit")
         return None  # let the caller fall back to plain jit dispatch
     try:
         ser, in_tree, out_tree = serialize(compiled)
