@@ -483,6 +483,22 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     fuse = os.environ.get("TPURT_FUSE_STAGES", "1") == "1"
     fuse_bounces = os.environ.get("TPURT_FUSE_BOUNCES", "0") == "1"
     debug = os.environ.get("TPURT_DEBUG_STAGES") == "1"
+    # TPURT_CAPTURE_WAVES=<dir>: dump the real inter-stage waves (bounce
+    # ray states + shadow tuples) as .npz for offline kernel/machinery
+    # decomposition probes (benchmarks/probe_occl_decomp.py). Forces the
+    # unfused path; D2H reads poison later dispatch (PARITY law 1), so
+    # capture runs are for data only, never timing.
+    capture = os.environ.get("TPURT_CAPTURE_WAVES")
+    if capture:
+        fuse = fuse_bounces = False
+
+    def _capture(name, **arrays):
+        if capture:
+            os.makedirs(capture, exist_ok=True)
+            np.savez(
+                os.path.join(capture, name + ".npz"),
+                **{k: np.asarray(v) for k, v in arrays.items()},
+            )
 
     def _dbg(name, value):
         if debug:
@@ -514,6 +530,9 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             hit, state = trace0(ds, accel, state)
             return _flat_resolve(ds, accel, state, hit)
         for bounce in range(config.max_bounces + 1):
+            if capture and bounce > 0:
+                _capture(f"bounce{bounce}_wave", org=state.org,
+                         dirn=state.dirn, alive=state.alive)
             hit, state = (trace0 if bounce == 0 else traceN)(
                 ds, accel, state
             )
@@ -522,6 +541,10 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             state, shadow = shade(ds, accel, state, hit, seed, sample0, b)
             _dbg(f"shade[{bounce}]", state.radiance)
             if shadow is not None:
+                if capture:
+                    _capture(f"shadow{bounce}_wave", org=shadow[0],
+                             dirn=shadow[1], tmax=shadow[2],
+                             want=shadow[4])
                 state = occlude(ds, accel, state, shadow)
                 _dbg(f"occlude[{bounce}]", state.radiance)
         return resolve(state)
