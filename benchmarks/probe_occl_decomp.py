@@ -49,13 +49,15 @@ def main():
 
     from tpurt.kernels import tilewave as tw
     from tpurt.render import build_accel
+    from tpurt.render.intersectors import scene_meta
     from tpurt.scene.device import to_device
     from tpurt.scene.loader import load_scene
     from tpurt.utils.config import get_config
 
     config = get_config("bunny", spp=8, spp_per_batch=8)
     scene = load_scene(config.scene)
-    ds, meta = to_device(scene)
+    ds = to_device(scene)
+    meta = scene_meta(scene)
     accel = build_accel(config, ds, meta, scene=scene)
     lo = jnp.asarray(accel.cluster_lo)
     hi = jnp.asarray(accel.cluster_hi)

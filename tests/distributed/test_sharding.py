@@ -116,14 +116,14 @@ def test_staged_tile_distributed_equals_single(n_sample, n_tile):
 
     single = make_staged_renderer(ds, accel, meta=meta, config=cfg)
     ref = jnp.zeros((cfg.height, cfg.width, 3))
-    counts_s = jnp.zeros(3)
+    counts_s = None
     for sid in range(n_sample):
         img, c = single(
             scene.camera, jnp.uint32(SEED),
             jnp.uint32(sid * cfg.spp_per_batch),
         )
         ref = ref + img
-        counts_s = counts_s + c
+        counts_s = c if counts_s is None else counts_s + c
     np.testing.assert_array_equal(np.asarray(img_d), np.asarray(ref))
     np.testing.assert_allclose(
         np.asarray(counts_d)[:2], np.asarray(counts_s)[:2]

@@ -33,8 +33,10 @@ def _compare(scene, config, accel=None):
     # (shadow `contrib > 0`, Fresnel reflect-vs-refract) may flip and
     # reroute a whole path at a few pixels; systematic divergence would
     # move every pixel
+    # the staged counter vector carries extra slots (live-wave counts);
+    # the first three (closest/shadow/pair-overflow) must agree
     np.testing.assert_allclose(
-        np.asarray(rays_s), np.asarray(rays_m), rtol=1e-3
+        np.asarray(rays_s)[:3], np.asarray(rays_m)[:3], rtol=1e-3
     )
     diff = np.abs(np.asarray(img_s) - np.asarray(img_m))
     assert float((diff > 1e-3).mean()) < 0.02, (diff > 1e-3).mean()

@@ -1722,6 +1722,14 @@ def make_tile_intersector(ds, accel: PairAccel, *,
             tmv = jnp.concatenate([tmv, jnp.full(e, -1.0, jnp.float32)])
             n_tiles = n_chunks * chunk_tiles
         restore_key = None
+        # sort="pre": the CALLER already put the wave in a coherent
+        # (octant/Morton) order and consumes results in that same order —
+        # no forward or restore sort here, but the exact Pallas any-mask
+        # stays enabled exactly as for internally-sorted waves (the
+        # staged sorted-wave pipeline, render/staged.py: one
+        # payload-through lax.sort per bounce replaces the per-trace
+        # forward+restore sorts that measured ~100 ms/trace at bench
+        # scale — benchmarks/probe_trace_machinery.py).
         if sort in ("morton", "octant"):
             # Tile-coherence reorder for incoherent (bounce/shadow)
             # waves. Both the forward permutation and the un-permute ride
@@ -1761,7 +1769,7 @@ def make_tile_intersector(ds, accel: PairAccel, *,
                     n_clusters=n_clusters, pcap=pcap,
                     per_tile_clamp=pairs_per_tile, interpret=interpret,
                     any_hit=any_hit,
-                    exact_ok=sort in ("morton", "octant"), **tlkw,
+                    exact_ok=sort in ("morton", "octant", "pre"), **tlkw,
                 ))
             else:
                 outs.append(_trace_tiles(

@@ -161,6 +161,16 @@ def render_scene(
     import dataclasses
     import os
 
+    from tpurt.utils import autotune
+
+    # live-wave truncation (sorted-wave pipeline): apply measured caps
+    # when the config carries none. TPURT_LIVE_TRUNC=0 disables for A/B.
+    if (not config.live_caps
+            and os.environ.get("TPURT_LIVE_TRUNC", "1") == "1"):
+        caps = autotune.live_caps_for(config)
+        if caps:
+            config = dataclasses.replace(config, live_caps=caps)
+
     state0 = state
     retries = 0
     while True:
@@ -168,6 +178,23 @@ def render_scene(
             config, scene, camera, state0, verbose, readback_stats
         )
         stats["budget_retries"] = retries
+        if (not config.live_caps
+                and os.environ.get("TPURT_AUTOTUNE_WRITE") == "1"):
+            autotune.record(config, stats)
+        if stats.get("live_overflow"):
+            # a live-wave cap (sorted-wave pipeline) cut ALIVE rays — the
+            # capped image dropped paths. Re-render uncapped: caps come
+            # from measured-with-margin autotune, so this is rare, loud,
+            # and always correct (live_caps=() cannot overflow again).
+            import warnings
+
+            warnings.warn(
+                "live-wave cap truncated alive rays "
+                f"(caps={config.live_caps}) — re-rendering uncapped",
+                RuntimeWarning,
+            )
+            config = dataclasses.replace(config, live_caps=())
+            continue
         if not stats.get("pair_overflow"):
             return out_state, stats
         if retries >= max_budget_retries:
@@ -372,6 +399,15 @@ def _render_scene_once(
         "rays_estimated": estimated,
         "pair_overflow": bool(rays[2] > 0.0) if rays.shape[0] > 2 else False,
         "pair_overflow_events": float(rays[2]) if rays.shape[0] > 2 else 0.0,
+        # sorted-wave pipeline extras (render/staged.py): alive rays a
+        # live cap truncated (> 0 ⇒ the capped image is wrong and
+        # render_scene re-renders uncapped) and the measured per-bounce
+        # live-wave totals (summed over batches — the live-cap autotune
+        # divides by the batch count)
+        "live_overflow": bool(rays[3] > 0.0) if rays.shape[0] > 3 else False,
+        "live_counts": (
+            [float(v) for v in rays[4:]] if rays.shape[0] > 4 else []
+        ),
         "mrays_per_s": n_rays / max(elapsed, 1e-9) / 1e6,
     }
     return state, stats

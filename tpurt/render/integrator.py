@@ -227,13 +227,21 @@ def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
         if wave == "primary":
             sort = config.tile_primary_sort
             avg = config.pairs_avg
+        elif wave == "presorted":
+            # staged sorted-wave pipeline: the stage already permuted the
+            # wave into octant+origin-Morton order (payload-through sort)
+            # and consumes results in that order — skip the intersector's
+            # forward/restore sorts but keep the exact-mask path
+            sort = "pre"
+            avg = config.pairs_avg_bounce
         else:
             sort = config.tile_ray_sort
             avg = config.pairs_avg_bounce
         return make_tile_intersector(
             ds, accel, pairs_per_tile=config.pairs_per_tile,
             pairs_avg=avg, ray_sort=sort,
-            shadow_ray_sort=config.tile_shadow_sort,
+            shadow_ray_sort=("pre" if wave == "presorted"
+                             else config.tile_shadow_sort),
             shadow_pairs_avg=config.pairs_avg_shadow,
             # unified SMEM pair capacity (pair-loop mode): identical for
             # every wave kind so trace0/traceN/occlude share ONE Mosaic

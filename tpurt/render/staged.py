@@ -45,7 +45,13 @@ from tpurt.utils.config import RenderConfig
 
 
 class WaveState(NamedTuple):
-    """Inter-stage SoA path state (flattened samples × pixels)."""
+    """Inter-stage SoA path state (flattened samples × pixels).
+
+    ``pix``/``ds`` make every ray self-describing (linear pixel id with
+    pad pixels ≥ w·h, and the within-batch sample index): the sorted-wave
+    pipeline permutes the wave between bounces, so pixel identity and the
+    RNG stream key ride WITH the ray instead of being implied by array
+    position."""
 
     org: jnp.ndarray  # (N, 3)
     dirn: jnp.ndarray  # (N, 3)
@@ -53,7 +59,11 @@ class WaveState(NamedTuple):
     throughput: jnp.ndarray  # (N, 3)
     alive: jnp.ndarray  # (N,) bool
     allow_emission: jnp.ndarray  # (N,) bool
-    rays: jnp.ndarray  # (3,) f32 [closest, shadow, overflow] counters
+    pix: jnp.ndarray  # (N,) i32 linear pixel id (pads ≥ w·h)
+    ds: jnp.ndarray  # (N,) u32 within-batch sample index [0, spp)
+    # (4 + bounces,) f32 counters: [closest, shadow, pair_overflow,
+    # live_overflow, live-after-bounce-0, live-after-bounce-1, …]
+    rays: jnp.ndarray
 
 
 def make_staged_renderer(ds, accel, *, meta: SceneMeta,
@@ -79,6 +89,9 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     """
     w, h = config.width, config.height
     spp = config.spp_per_batch
+    # counter-vector length (WaveState.rays): fixed slots + one live-
+    # wave count per bounce depth (feeds the live-cap autotune)
+    NCOUNT = 4 + config.max_bounces + 1
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
 
@@ -118,6 +131,12 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     py_c = py_p.reshape(n_tile, local_px)
     pid_c = pixel_id[: n_px + pad].reshape(n_tile, local_px)
 
+    # linear-style per-ray ids (pads ≥ w·h so resolve can drop them) and
+    # within-batch sample indices — carried in WaveState (see class doc)
+    lin_r = np.tile(linear_p, spp).astype(np.int32)
+    ds_r = np.repeat(np.arange(spp, dtype=np.uint32), local_px)
+    lin_c = linear_p.reshape(n_tile, local_px).astype(np.int32)
+
     def _local_ctx():
         """(px_r, py_r, pixel_id, sample_offset) for the executing shard."""
         if mesh is None:
@@ -132,6 +151,16 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             jnp.tile(pyl, spp),
             jnp.tile(pid, spp),
             s_id.astype(jnp.uint32) * jnp.uint32(spp),
+        )
+
+    def _local_ids():
+        """(pix, ds) for the executing shard (WaveState id fields)."""
+        if mesh is None:
+            return jnp.asarray(lin_r), jnp.asarray(ds_r)
+        t_id = jax.lax.axis_index("tile")
+        return (
+            jnp.tile(jnp.asarray(lin_c)[t_id], spp),
+            jnp.asarray(ds_r),
         )
 
     def _sampler(seed, sample0):
@@ -152,7 +181,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     if mesh is not None:
         state_spec = WaveState(
             org=rp, dirn=rp, radiance=rp, throughput=rp, alive=rp,
-            allow_emission=rp, rays=P(),
+            allow_emission=rp, pix=rp, ds=rp, rays=P(),
         )
         from tpurt.render.intersectors import Hit
 
@@ -193,6 +222,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         org, dirn = camera_rays(
             cam, pxl, pyl, w, h, jitter=(uj[..., 0], uj[..., 1])
         )
+        pix, dsamp = _local_ids()
         return WaveState(
             org=org,
             dirn=dirn,
@@ -200,7 +230,9 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             throughput=jnp.ones((n, 3), jnp.float32),
             alive=jnp.ones(n, bool),
             allow_emission=jnp.ones(n, bool),
-            rays=jnp.zeros(3, jnp.float32),
+            pix=pix,
+            ds=dsamp,
+            rays=jnp.zeros(NCOUNT, jnp.float32),
         )
 
     if mesh is None:
@@ -221,7 +253,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         closest, _ = make_intersectors(ds, accel, meta=meta,
                                        config=config, wave=wave)
         closest = make_cutout_closest(ds, accel, closest, meta=meta)
-        inc = jnp.zeros(3, jnp.float32).at[0].set(
+        inc = jnp.zeros(NCOUNT, jnp.float32).at[0].set(
             jnp.sum(state.alive.astype(jnp.float32))
         )
         tmax = jnp.where(state.alive, jnp.inf, -1.0)
@@ -253,11 +285,23 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     traceN = _make_trace("bounce")
 
     def shade_body(ds, accel, state: WaveState, hit, seed, sample0,
-                   bounce):
+                   bounce, presorted=False):
         """Pure-XLA stage: miss/emission events, NEE shadow-ray setup,
         bounce sampling. ``bounce`` is a device scalar — one executable
-        serves every bounce depth."""
-        sampler = _sampler(seed, sample0)
+        serves every bounce depth.
+
+        ``presorted`` (sorted-wave pipeline): the wave is permuted, so
+        the RNG stream is keyed by the CARRIED per-ray ids instead of
+        array position (pad rays draw from a different stream than the
+        positional path — invisible: resolve drops them)."""
+        if presorted:
+            sampler = PixelSampler.make(
+                jnp.asarray(seed, jnp.uint32),
+                jnp.asarray(sample0, jnp.uint32) + state.ds,
+                state.pix.astype(jnp.uint32),
+            )
+        else:
+            sampler = _sampler(seed, sample0)
         resolver = materials.make_resolver(
             ds, accel, texture_filter=config.texture_filter)
         hit_valid = hit.valid & state.alive
@@ -277,7 +321,9 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         )
 
         if config.use_nee:
-            shadow_org = materials.bounce_origin(attrs, jnp.ones(n))
+            shadow_org = materials.bounce_origin(
+                attrs, jnp.ones(state.org.shape[0])
+            )
             wi_l, dist_l, l_over_pdf, l_valid = materials.sample_light(
                 ds, shadow_org, sampler, bounce
             )
@@ -318,6 +364,8 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             throughput=throughput,
             alive=alive,
             allow_emission=bs.is_specular | (not config.use_nee),
+            pix=state.pix,
+            ds=state.ds,
             rays=state.rays,
         )
         return new, shadow
@@ -332,18 +380,25 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
                        shadow_spec if config.use_nee else None),
         )
 
-    def occlude_body(ds, accel, state: WaveState, shadow):
+    def occlude_body(ds, accel, state: WaveState, shadow,
+                     presorted=False):
         """Stage with ONE Pallas call (shadow/any-hit) for opaque scenes;
         alpha-cutout scenes run make_occluder's bounded closest-trace
         loop (ALPHA_OCCLUSION_ROUNDS traversal calls — the multi-
-        traversal program shape is qualified by TPURT_FUSE_BOUNCES)."""
+        traversal program shape is qualified by TPURT_FUSE_BOUNCES).
+
+        ``presorted``: trace shadow rays in the CURRENT wave order (the
+        sorted-wave pipeline's coherent order) — no forward/restore sort
+        inside the intersector."""
         from tpurt.render.integrator import make_occluder
 
-        closest, any_hit = make_intersectors(ds, accel, meta=meta,
-                                             config=config)
+        closest, any_hit = make_intersectors(
+            ds, accel, meta=meta, config=config,
+            wave="presorted" if presorted else "bounce",
+        )
         any_hit = make_occluder(ds, accel, closest, any_hit, meta=meta)
         s_org, s_dir, s_tmax, contrib, want = shadow
-        inc = jnp.zeros(3, jnp.float32).at[1].set(
+        inc = jnp.zeros(NCOUNT, jnp.float32).at[1].set(
             jnp.sum(want.astype(jnp.float32))
         )
         if hasattr(any_hit, "with_stats"):
@@ -475,6 +530,172 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     whole_batch = (_cjit(whole_batch_body, "whole_batch")
                    if mesh is None else None)
 
+    # ---- sorted-wave pipeline (TPURT_SORTED_WAVE; single-chip) ----
+    # The per-trace sort machinery inside the intersector measured
+    # ~100 ms/trace at bunny bench scale (9-operand forward sort 24.9 ms
+    # + 5/2-operand restore sorts 16–18/8.7 ms, ×2 traces per bounce —
+    # benchmarks/probe_trace_machinery.py). This pipeline replaces the
+    # four per-bounce sorts with ONE payload-through lax.sort: the
+    # shade_occlude stage ends by permuting the NEXT wave (rays + their
+    # radiance/throughput/ids) into octant+origin-Morton order with dead
+    # rays at the back; the bounce trace then runs sort-free on the
+    # presorted wave (wave="presorted" → exact mask stays on), the
+    # shadow trace rides the current order, and nothing is ever
+    # un-permuted — resolve maps rays to pixels through the carried
+    # ``pix``/``ds`` ids with one 4-operand sort.
+    from tpurt.kernels.tilewave import BIG as _BIG
+    from tpurt.kernels.tilewave import _octant_sort_keys
+
+    def _sort_wave(accel, state: WaveState) -> WaveState:
+        """Permute the wave into next-trace coherence order (payload-
+        through: 15-operand single sort; alive/allow_emission/ds pack
+        into one u32 lane)."""
+        lo_all = jnp.min(accel.cluster_lo, axis=0)
+        hi_all = jnp.max(accel.cluster_hi, axis=0)
+        tmv = jnp.where(state.alive, _BIG, -1.0)
+        keys = _octant_sort_keys(
+            state.org, state.dirn, tmv, lo_all, hi_all
+        )
+        flags = (
+            state.alive.astype(jnp.uint32)
+            | (state.allow_emission.astype(jnp.uint32) << 1)
+            | (state.ds << 2)
+        )
+        (_, ox, oy, oz, dx, dy, dz, r0, r1, r2, t0, t1, t2, pix,
+         fl) = jax.lax.sort(
+            (keys,
+             state.org[:, 0], state.org[:, 1], state.org[:, 2],
+             state.dirn[:, 0], state.dirn[:, 1], state.dirn[:, 2],
+             state.radiance[:, 0], state.radiance[:, 1],
+             state.radiance[:, 2],
+             state.throughput[:, 0], state.throughput[:, 1],
+             state.throughput[:, 2],
+             state.pix, flags),
+            num_keys=1,
+        )
+        return WaveState(
+            org=jnp.stack([ox, oy, oz], axis=1),
+            dirn=jnp.stack([dx, dy, dz], axis=1),
+            radiance=jnp.stack([r0, r1, r2], axis=1),
+            throughput=jnp.stack([t0, t1, t2], axis=1),
+            alive=(fl & 1) == 1,
+            allow_emission=(fl & 2) == 2,
+            pix=pix,
+            ds=fl >> 2,
+            rays=state.rays,
+        )
+
+    def shade_occlude_sorted_body(ds, accel, state, hit, seed, sample0,
+                                  bounce, last=False, cap=0):
+        """Sorted-mode fused stage: shade + occlude in the carried order,
+        then (mid bounces) the payload-through sort of the NEXT wave.
+
+        ``cap`` (static, live-wave truncation): keep only the first
+        ``cap`` rays of the sorted wave — dead rays sort to the back, so
+        with a cap ≥ the wave's live count this drops only dead rays and
+        every later stage (sorts, masks, expansion, kernel launches)
+        shrinks to the live prefix. The dropped tail's radiance/ids are
+        returned for resolve; any ALIVE ray past the cap is counted into
+        the live_overflow slot (render_scene re-renders uncapped — a
+        truncated wave never silently survives, same contract as the
+        pair budgets)."""
+        state, shadow = shade_body(ds, accel, state, hit, seed, sample0,
+                                   bounce, presorted=True)
+        if config.use_nee:
+            state = occlude_body(ds, accel, state, shadow,
+                                 presorted=True)
+        live = jnp.sum(state.alive.astype(jnp.float32))
+        state = state._replace(
+            rays=state.rays.at[4 + bounce.astype(jnp.int32)].add(live)
+        )
+        if last:
+            return state, None
+        state = _sort_wave(accel, state)
+        if cap:
+            over = jnp.sum(state.alive[cap:].astype(jnp.float32))
+            tail = (state.radiance[cap:], state.pix[cap:],
+                    state.ds[cap:])
+            state = WaveState(
+                org=state.org[:cap],
+                dirn=state.dirn[:cap],
+                radiance=state.radiance[:cap],
+                throughput=state.throughput[:cap],
+                alive=state.alive[:cap],
+                allow_emission=state.allow_emission[:cap],
+                pix=state.pix[:cap],
+                ds=state.ds[:cap],
+                rays=state.rays.at[3].add(over),
+            )
+            return state, tail
+        return state, None
+
+    def resolve_sorted_body(state: WaveState, tails=()):
+        """Permutation-independent resolve: rays → (pixel, sample) by the
+        carried ids; per-pixel sample sums run in ds order (s0 + s1 + …,
+        the same order as the positional resolve). Pad pixels carry
+        pix ≥ w·h, sort to the back, and are sliced off. ``tails`` are
+        the truncated waves' (radiance, pix, ds) from the capped
+        shade_occlude stages."""
+        rad = [state.radiance]
+        pix = [state.pix]
+        dss = [state.ds]
+        for tr, tp, td in tails:
+            rad.append(tr)
+            pix.append(tp)
+            dss.append(td)
+        rad = jnp.concatenate(rad) if len(rad) > 1 else rad[0]
+        pix = jnp.concatenate(pix) if len(pix) > 1 else pix[0]
+        dss = jnp.concatenate(dss) if len(dss) > 1 else dss[0]
+        key = pix * spp + dss.astype(jnp.int32)
+        _, r, g, b = jax.lax.sort(
+            (key, rad[:, 0], rad[:, 1], rad[:, 2]),
+            num_keys=1,
+        )
+        img = jnp.stack([r, g, b], axis=1)[: w * h * spp]
+        img = img.reshape(w * h, spp, 3).sum(axis=1)
+        return img.reshape(h, w, 3), state.rays
+
+    if mesh is None and hasattr(accel, "cluster_lo"):
+        from tpurt.kernels.tilewave import TILE as _TILE
+
+        trace_sorted = _cjit(
+            functools.partial(_trace_body, wave="presorted"),
+            "trace_presorted",
+        )
+        # per-bounce shade_occlude stages: mid bounces share ONE wrapper
+        # when uncapped; a live cap gives the bounce its own wrapper
+        # (static output shapes)
+        _so_shared = _cjit(
+            shade_occlude_sorted_body, "shade_occlude_sorted"
+        )
+        _so_last = _cjit(
+            functools.partial(shade_occlude_sorted_body, last=True),
+            "shade_occlude_sorted_last",
+        )
+        so_sorted = []
+        n_cur = n
+        for b in range(config.max_bounces + 1):
+            if b == config.max_bounces:
+                so_sorted.append(_so_last)
+                continue
+            cap = 0
+            if b < len(config.live_caps) and config.live_caps[b] > 0:
+                cap = -(-int(config.live_caps[b]) // _TILE) * _TILE
+                if cap >= n_cur:
+                    cap = 0
+            if cap:
+                so_sorted.append(_cjit(
+                    functools.partial(shade_occlude_sorted_body,
+                                      cap=cap),
+                    f"shade_occlude_sorted_b{b}",
+                ))
+                n_cur = cap
+            else:
+                so_sorted.append(_so_shared)
+        resolve_sorted = _cjit(resolve_sorted_body, "resolve_sorted")
+    else:
+        trace_sorted = None
+
     import os
     import time
 
@@ -491,6 +712,18 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     capture = os.environ.get("TPURT_CAPTURE_WAVES")
     if capture:
         fuse = fuse_bounces = False
+    # sorted-wave pipeline gate (see block above): single-chip tile-accel
+    # configs only; config default rides RenderConfig.sorted_wave, env
+    # forces for A/B
+    use_sorted = (
+        trace_sorted is not None
+        and not capture
+        and not fuse_bounces
+        and os.environ.get(
+            "TPURT_SORTED_WAVE",
+            "1" if getattr(config, "sorted_wave", False) else "0",
+        ) == "1"
+    )
 
     def _capture(name, **arrays):
         if capture:
@@ -511,6 +744,24 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         if (fuse_bounces and whole_batch is not None
                 and config.shading_mode != "flat"):
             return whole_batch(ds, accel, cam, seed, sample0)
+        if use_sorted and config.shading_mode != "flat":
+            hit = state = None
+            tails = []
+            for bounce in range(config.max_bounces + 1):
+                if bounce == 0:
+                    hit, state = raygen_trace0(ds, accel, cam, seed,
+                                               sample0)
+                else:
+                    hit, state = trace_sorted(ds, accel, state)
+                _dbg(f"trace[{bounce}]", hit.t)
+                state, tail = so_sorted[bounce](
+                    ds, accel, state, hit, seed, sample0,
+                    jnp.uint32(bounce)
+                )
+                if tail is not None:
+                    tails.append(tail)
+                _dbg(f"shade_occlude[{bounce}]", state.radiance)
+            return resolve_sorted(state, tuple(tails))
         if fuse and config.shading_mode != "flat":
             hit = state = None
             for bounce in range(config.max_bounces + 1):

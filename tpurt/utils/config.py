@@ -66,6 +66,20 @@ class RenderConfig:
     tile_primary_sort: str = "none"
     tile_ray_sort: str = "octant"
     tile_shadow_sort: str = "octant"
+    # sorted-wave pipeline (render/staged.py): ONE payload-through
+    # lax.sort per bounce (in the shade_occlude stage) replaces the
+    # intersector's per-trace forward+restore sorts; traces then run
+    # sort-free in the carried order. Single-chip staged pipeline only;
+    # env TPURT_SORTED_WAVE=0/1 overrides for A/B.
+    sorted_wave: bool = False
+    # live-wave truncation caps (sorted-wave pipeline): entry b = max
+    # rays kept for the bounce-(b+1) trace after bounce b's shade sorts
+    # dead rays to the back (rounded up to the kernel tile size). () = no
+    # truncation. Caps come from the measured per-bounce live counts
+    # (stats "live_counts" / benchmarks/autotune.json) with margin; a
+    # cap that cuts ALIVE rays trips the live_overflow counter and
+    # render_scene re-renders uncapped — never a silent truncation.
+    live_caps: tuple = ()
     # BVH tuning
     bvh_leaf_size: int = 4
     # runtime ray reordering before packetization: "none" (megakernel
