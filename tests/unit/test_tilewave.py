@@ -5,6 +5,8 @@ any-hit, dead lanes, non-TILE-multiple ray counts, instanced slots, and
 the pair-budget overflow flag.
 """
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -159,7 +161,13 @@ def test_render_scene_budget_auto_retry():
         base, pairs_avg=2, pairs_avg_bounce=2, pairs_avg_shadow=2
     )
     st_tiny, stats_tiny = render_scene(tiny, scene=scene)
-    assert stats_tiny["budget_retries"] > 0
+    if os.environ.get("TPURT_ENTRY_ROWS", "0") == "1":
+        # dense entry rows have no global pair capacity: tiny pcap
+        # budgets CANNOT overflow, so no retry ever happens and the
+        # image is right the first time
+        assert stats_tiny["budget_retries"] == 0
+    else:
+        assert stats_tiny["budget_retries"] > 0
     assert not stats_tiny["pair_overflow"]
     st_ok, stats_ok = render_scene(base, scene=scene)
     assert stats_ok["budget_retries"] == 0

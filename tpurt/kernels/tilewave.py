@@ -1041,6 +1041,7 @@ def _tileloop_kernel(
     smem_tri: bool = True,
     lean_any: bool = False,
     unroll: int = 2,
+    entry_rows: bool = False,
 ):
     """Grid-over-TILES pair-loop kernel (round-2 production traversal).
 
@@ -1079,7 +1080,57 @@ def _tileloop_kernel(
     closest/any-hit runtime-flag sharing is bypassed for any-hit
     traces), bought back by the cheaper occlusion inner loop.
     """
-    if two_level:
+    if entry_rows:
+        # dense entry-row mode (round 3): no packed SMEM pair list and
+        # no offsets — the tile's FRONT-TO-BACK entry row ((tn_q << 16)
+        # | cluster, lane-axis-sorted by XLA) is DMA'd from the VMEM
+        # entries operand into SMEM scratch in groups of ENTRY_GROUP
+        # tiles; the loop bound is the tile's live count. Removes the
+        # global expansion sort, the SMEM pair capacity (and with it
+        # budget overflow/retries and MAX_PAIRS_PER_LAUNCH splitting).
+        if two_level:
+            (cnt_ref, fl_ref, sc_ref, pm_ref, xf_ref, tri_ref,
+             ent_ref, ray_ref, out_ref) = refs[:9]
+            scratch = refs[9:]
+        else:
+            (cnt_ref, fl_ref, sc_ref, tri_ref, ent_ref, ray_ref,
+             out_ref) = refs[:7]
+            scratch = refs[7:]
+        ent_sm, ent_sems = scratch[0], scratch[1]
+        scratch = scratch[2:]
+        i = pl.program_id(0)
+        npr = pl.num_programs(0)
+        grp = i // ENTRY_GROUP
+        eslot = jax.lax.rem(grp, 2)
+
+        def ent_dma(sl, g):
+            return pltpu.make_async_copy(
+                ent_ref.at[pl.ds(g * ENTRY_GROUP, ENTRY_GROUP), :],
+                ent_sm.at[sl],
+                ent_sems.at[sl],
+            )
+
+        @pl.when(i == 0)
+        def _():
+            ent_dma(0, 0).start()
+
+        # each group's first tile: wait own copy, prefetch next group
+        @pl.when(jax.lax.rem(i, ENTRY_GROUP) == 0)
+        def _():
+            ent_dma(eslot, grp).wait()
+
+            @pl.when((grp + 1) * ENTRY_GROUP < npr)
+            def _():
+                ent_dma(1 - eslot, grp + 1).start()
+
+        erow = jax.lax.rem(i, ENTRY_GROUP)
+
+        def read_entry(p):
+            return ent_sm[eslot, erow, p]
+
+        s = jnp.int32(0)
+        e = cnt_ref[i]
+    elif two_level:
         (off_ref, pc_ref, fl_ref, sc_ref, pm_ref, xf_ref, tri_ref,
          ray_ref, out_ref) = refs[:9]
         scratch = refs[9:]
@@ -1087,9 +1138,14 @@ def _tileloop_kernel(
         off_ref, pc_ref, fl_ref, sc_ref, tri_ref, ray_ref, out_ref = \
             refs[:7]
         scratch = refs[7:]
-    i = pl.program_id(0)
-    s = off_ref[i]
-    e = off_ref[i + 1]
+    if not entry_rows:
+        i = pl.program_id(0)
+        s = off_ref[i]
+        e = off_ref[i + 1]
+
+        def read_entry(p):
+            return pc_ref[p]
+
     is_any = fl_ref[0] == 1
 
     if two_level:
@@ -1159,17 +1215,17 @@ def _tileloop_kernel(
         # prefetch past their own end)
         @pl.when(e > s)
         def _():
-            cluster_dma(jax.lax.rem(s, 2), pc_ref[s] & 0xFFFF).start()
+            cluster_dma(jax.lax.rem(s, 2), read_entry(s) & 0xFFFF).start()
 
     def pair_body(p):
-        v = pc_ref[p]
+        v = read_entry(p)
         c = v & 0xFFFF
         if smem_tri:
             slot = jax.lax.rem(p, 2)
 
             @pl.when(p + 1 < e)
             def _():
-                cluster_dma(1 - slot, pc_ref[p + 1] & 0xFFFF).start()
+                cluster_dma(1 - slot, read_entry(p + 1) & 0xFFFF).start()
 
             cluster_dma(slot, c).wait()
         # Early-outs (the DMA chain continues unconditionally to keep
@@ -1343,7 +1399,7 @@ def _tileloop_kernel(
         # done check for the next block = the early-out pair_body(nxt)
         # would compute: every lane's best t already beats nxt's entry
         # lower bound, or (any-hit) every lane is occluded or dead
-        nv = pc_ref[jnp.minimum(nxt, e - 1)]
+        nv = read_entry(jnp.minimum(nxt, e - 1))
         deq = (nv >> 16).astype(jnp.float32) * sc_ref[0]
         done = jnp.all(out_ref[0:SUB, :] < deq)
         if not lean_any:
@@ -1363,7 +1419,7 @@ def _tileloop_kernel(
         @pl.when(p_final < e)
         def _():
             cluster_dma(
-                jax.lax.rem(p_final, 2), pc_ref[p_final] & 0xFFFF
+                jax.lax.rem(p_final, 2), read_entry(p_final) & 0xFFFF
             ).wait()
 
 
@@ -1384,6 +1440,11 @@ MAX_PAIRS_PER_LAUNCH = 96 * 1024
 # pair-loop mode: ray tiles per kernel launch. Fixed (wave-independent)
 # so every wave kind of a config shares one Mosaic kernel variant.
 TILES_PER_LAUNCH = 256
+
+# entry-row mode: tiles per entry-row DMA group — VMEM source slices of
+# a DMA must be 8-sublane aligned (measured Mosaic verifier error in
+# benchmarks/probe_entry_rows.py); grouping also amortizes the DMA.
+ENTRY_GROUP = 8
 
 
 def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
@@ -1441,6 +1502,51 @@ def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
     else:
         mask, tn_lower = _tile_mask(org, dirn, t_max_vec, lo, hi,
                                     n_tiles, return_tn=True)
+    if _os.environ.get("TPURT_ENTRY_ROWS", "0") == "1":
+        # Dense entry-row plumbing (round 3): ONE single-operand
+        # lane-axis lax.sort orders each tile's (tn_q << 16 | cluster)
+        # entries front-to-back with INT32_MAX (no hit) at the back —
+        # replacing the global 2-key expansion sort + cumsum offsets +
+        # packed SMEM pair list. The kernel DMAs entry rows to SMEM in
+        # ENTRY_GROUP chunks and loops to the tile's live count, so no
+        # pair capacity exists: pcap / MAX_PAIRS_PER_LAUNCH and budget
+        # overflow CANNOT trigger on this path (per-tile clamp is still
+        # honored for semantic parity when explicitly configured).
+        keep = (n_clusters if per_tile_clamp <= 0
+                else min(per_tile_clamp - 1, n_clusters))
+        counts_raw = mask.sum(axis=1, dtype=jnp.int32)
+        if keep < n_clusters:
+            rank = jnp.cumsum(mask.astype(jnp.int32), axis=1)
+            mask = mask & (rank <= keep)
+            overflow = jnp.any(counts_raw > keep)
+        else:
+            overflow = jnp.zeros((), bool)
+        counts = jnp.minimum(counts_raw, keep)
+        total = counts.sum(dtype=jnp.int32)
+        scene_diag = jnp.linalg.norm(
+            jnp.max(hi, axis=0) - jnp.min(lo, axis=0))
+        tn_scale = jnp.maximum(scene_diag, 1e-12) / 32766.0
+        tn_q = jnp.clip(
+            (jnp.maximum(tn_lower, 0.0) / tn_scale).astype(jnp.int32),
+            0, 32766,
+        )
+        cl_of = jax.lax.broadcasted_iota(
+            jnp.int32, (n_tiles, n_clusters), 1)
+        int_max = jnp.int32(2**31 - 1)
+        entry = jnp.where(mask, (tn_q << 16) | cl_of, int_max)
+        cp = ((n_clusters + 127) // 128) * 128
+        tpad = (-n_tiles) % ENTRY_GROUP
+        if cp != n_clusters or tpad:
+            entry = jnp.pad(entry, ((0, tpad), (0, cp - n_clusters)),
+                            constant_values=2**31 - 1)
+        entry = jax.lax.sort(entry)  # per-row (lane-axis) front-to-back
+        return _launch_tiles_loop(
+            None, None, org, dirn, t_max_vec, tri_rows,
+            n_tiles=n_tiles, interpret=interpret, any_hit=any_hit,
+            n_pairs=total, overflow=overflow, pair_meta=pair_meta,
+            inv_xform=inv_xform, tn_scale=tn_scale, entries=entry,
+            counts=counts,
+        )
     # per-tile clamp (an overfull tile drops its trailing Morton-order
     # clusters — flagged), then the global SMEM capacity cap (trailing
     # tiles lose pairs — also flagged; render_scene auto-retries with
@@ -1497,8 +1603,10 @@ def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
 
 def _launch_tiles_loop(off, pair_cl, org, dirn, t_max_vec, tri_rows, *,
                        n_tiles, interpret, any_hit, n_pairs, overflow,
-                       pair_meta=None, inv_xform=None, tn_scale=None):
+                       pair_meta=None, inv_xform=None, tn_scale=None,
+                       entries=None, counts=None):
     two_level = pair_meta is not None
+    entry_rows = entries is not None
     n_out = 5 if two_level else 4
     n = org.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(dirn) < 1e-12,
@@ -1540,28 +1648,46 @@ def _launch_tiles_loop(off, pair_cl, org, dirn, t_max_vec, tri_rows, *,
     # per config, cheaper occlusion inner loop (A/B: +1.7% e2e).
     lean_any = any_hit and _os.environ.get("TPURT_LEAN_OCCL", "1") == "1"
     scratch = []
+    if entry_rows:
+        cp = entries.shape[1]
+        scratch += [
+            pltpu.SMEM((2, ENTRY_GROUP, cp), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     if smem_tri:
-        scratch = [
+        scratch += [
             pltpu.SMEM((2, ROWS_PER_CLUSTER, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+    if entry_rows:
+        n_prefetch -= 1  # counts replaces (off, pair_cl)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM), in_spec]
+        operands = (counts, flags, scale, tri_rows, entries, ray_pack)
+        if two_level:
+            operands = (counts, flags, scale, pair_meta,
+                        inv_xform.reshape(-1), tri_rows, entries,
+                        ray_pack)
+    else:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM), in_spec]
+        operands = (off, pair_cl, flags, scale, tri_rows, ray_pack)
+        if two_level:
+            operands = (off, pair_cl, flags, scale, pair_meta,
+                        inv_xform.reshape(-1), tri_rows, ray_pack)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), in_spec],
+        in_specs=in_specs,
         out_specs=[out_spec],
         scratch_shapes=scratch,
     )
-    operands = (off, pair_cl, flags, scale, tri_rows, ray_pack)
-    if two_level:
-        operands = (off, pair_cl, flags, scale, pair_meta,
-                    inv_xform.reshape(-1), tri_rows, ray_pack)
     out = pl.pallas_call(
         functools.partial(_tileloop_kernel, two_level=two_level,
                           n_out=n_out, smem_tri=smem_tri,
                           lean_any=lean_any,
                           unroll=PAIR_UNROLL if not interpret
-                          else PAIR_UNROLL_INTERP),
+                          else PAIR_UNROLL_INTERP,
+                          entry_rows=entry_rows),
         grid_spec=grid_spec,
         out_shape=[out_shape],
         interpret=interpret,

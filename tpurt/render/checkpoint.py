@@ -67,9 +67,12 @@ def load_checkpoint(path: str):
         )
         config = None
         if "config_json" in z:
-            config = RenderConfig(
-                **json.loads(z["config_json"].tobytes().decode())
-            )
+            raw = json.loads(z["config_json"].tobytes().decode())
+            # JSON has no tuple: restore tuple-typed fields (live_caps)
+            # so the loaded config compares equal to the saved one
+            raw = {k: tuple(v) if isinstance(v, list) else v
+                   for k, v in raw.items()}
+            config = RenderConfig(**raw)
         camera = None
         if "cam_position" in z:
             from tpurt.core.camera import Camera

@@ -52,6 +52,13 @@ _ENV_FLAGS = (
     "TPURT_LEAN_OCCL", "TPURT_EXACT_MASK", "TPURT_FUSE_STAGES",
     "TPURT_FUSE_BOUNCES", "TPURT_ROW_SKIP", "TPURT_APPROX_RECIP",
     "TPURT_INTERPRET_PALLAS", "TPURT_SMEM_TRI",
+    # round 3: the sorted-wave pipeline gate shapes which stage
+    # functions exist (names differ, but keep it keyed for safety);
+    # live truncation changes stage arg shapes via config.live_caps;
+    # entry rows / exact-impl change the trace stages' internals
+    # without changing stage names — unkeyed they would collide
+    "TPURT_SORTED_WAVE", "TPURT_LIVE_TRUNC", "TPURT_ENTRY_ROWS",
+    "TPURT_EXACT_IMPL", "TPURT_CLUSTERING",
 )
 
 
