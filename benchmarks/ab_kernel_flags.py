@@ -47,6 +47,10 @@ VARIANTS = {
     "all_on": (
         {"TPURT_EXACT_MASK": "1", "TPURT_LEAN_OCCL": "1",
          "TPURT_APPROX_RECIP": "1"}, []),
+    # round-3 headline-config variants (8 spp/batch = the bench default)
+    "base8": ({}, ["--spp-per-batch", "8"]),
+    "entry_rows": (
+        {"TPURT_ENTRY_ROWS": "1"}, ["--spp-per-batch", "8"]),
 }
 
 
