@@ -48,10 +48,12 @@ VARIANTS = {
         {"TPURT_EXACT_MASK": "1", "TPURT_LEAN_OCCL": "1",
          "TPURT_APPROX_RECIP": "1"}, []),
     # round-3 headline-config variants (8 spp/batch = the bench default)
-    "base8": ({}, ["--spp-per-batch", "8"]),
     "entry_rows": (
         {"TPURT_ENTRY_ROWS": "1"}, ["--spp-per-batch", "8"]),
 }
+# "base8" is the same config as "batch8" (advisor r3); keep the alias so
+# old result rows stay interpretable, but share the definition.
+VARIANTS["base8"] = VARIANTS["batch8"]
 
 
 def run_variant(name, retries=2, timeout=3600):

@@ -27,13 +27,26 @@ os.environ.setdefault("TPURT_INTERPRET_PALLAS", "1")
 # dir — their executables come from the same remote Mosaic service
 # regardless of host.
 if "TPURT_JAX_CACHE_DIR" not in os.environ:
+    import platform as _platform
+    import socket as _socket
+
+    # x86 reports "flags", ARM reports "Features"; accept either.
     try:
         with open("/proc/cpuinfo") as f:
             _flags_line = next(
-                (ln for ln in f if ln.startswith("flags")), "")
+                (ln for ln in f
+                 if ln.startswith(("flags", "Features"))), "")
     except OSError:
         _flags_line = ""
-    _fp = hashlib.sha256(_flags_line.encode()).hexdigest()[:12]
+    # When cpuinfo gives nothing (non-Linux, unreadable), fall back to a
+    # per-host component so distinct machines never share a cache dir.
+    _parts = [
+        _flags_line,
+        _platform.machine(),
+        _platform.processor(),
+        "" if _flags_line else _socket.gethostname(),
+    ]
+    _fp = hashlib.sha256("|".join(_parts).encode()).hexdigest()[:12]
     os.environ["TPURT_JAX_CACHE_DIR"] = os.path.expanduser(
         f"~/.cache/tpurt_jax_cache_cpu_{_fp}")
 

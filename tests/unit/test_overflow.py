@@ -13,6 +13,17 @@ import pytest
 from tpurt.render import BudgetOverflowError, render_scene
 from tpurt.utils.config import get_config
 
+# The budget machinery only exists on the packed-pair-list path; the
+# round-4 default (dense entry rows) has no global pair capacity and
+# cannot overflow (tests/unit/test_tilewave.py covers that). Pin the
+# budgeted path here so the terminal-overflow contract stays tested.
+pytestmark = pytest.mark.usefixtures("_budget_path")
+
+
+@pytest.fixture
+def _budget_path(monkeypatch):
+    monkeypatch.setenv("TPURT_ENTRY_ROWS", "0")
+
 
 def _overflow_setup():
     # a small standin with enough clusters for the masked pair path;

@@ -161,7 +161,7 @@ def test_render_scene_budget_auto_retry():
         base, pairs_avg=2, pairs_avg_bounce=2, pairs_avg_shadow=2
     )
     st_tiny, stats_tiny = render_scene(tiny, scene=scene)
-    if os.environ.get("TPURT_ENTRY_ROWS", "0") == "1":
+    if os.environ.get("TPURT_ENTRY_ROWS", "1") == "1":
         # dense entry rows have no global pair capacity: tiny pcap
         # budgets CANNOT overflow, so no retry ever happens and the
         # image is right the first time

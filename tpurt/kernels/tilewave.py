@@ -1502,7 +1502,11 @@ def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
     else:
         mask, tn_lower = _tile_mask(org, dirn, t_max_vec, lo, hi,
                                     n_tiles, return_tn=True)
-    if _os.environ.get("TPURT_ENTRY_ROWS", "0") == "1":
+    # default ON since round 4 (hardware A/B 2026-08-20: bunny 9.62 vs
+    # 9.37 Mrays/s, benchmarks/ab_results.jsonl `entry_rows`) — and the
+    # global pair budgets/overflow retries structurally cannot trigger;
+    # "0" reverts to the packed-SMEM pair-list path (budgeted)
+    if _os.environ.get("TPURT_ENTRY_ROWS", "1") == "1":
         # Dense entry-row plumbing (round 3): ONE single-operand
         # lane-axis lax.sort orders each tile's (tn_q << 16 | cluster)
         # entries front-to-back with INT32_MAX (no hit) at the back —

@@ -318,6 +318,26 @@ def _render_scene_once(
             renderer = make_staged_renderer(
                 ds, accel, meta=meta, config=jit_config, mesh=mesh
             )
+            # compile every stage executable CONCURRENTLY before the
+            # first batch: the remote Mosaic service parallelizes across
+            # threads (benchmarks/probe_par_compile.py), cutting cold
+            # warmup from sum(stage compiles) to ~max(stage compiles).
+            # No-op off-TPU, in mesh mode, or with the AOT cache off.
+            import os as _os
+
+            prewarm = getattr(renderer, "prewarm", None)
+            if _os.environ.get("TPURT_PREWARM", "1") != "1":
+                prewarm = None
+            if prewarm is not None:
+                try:
+                    n_ready = prewarm(cam, state.seed, state.n_samples)
+                    if verbose and n_ready:
+                        print(f"  prewarmed {n_ready} stage executables")
+                except Exception as e:  # never fail a render over prewarm
+                    import warnings
+
+                    warnings.warn(f"stage prewarm failed ({e!r}); "
+                                  "falling back to sequential compiles")
             ctx["staged_renderer"] = renderer
     else:
         renderer = None

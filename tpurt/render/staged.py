@@ -66,6 +66,30 @@ class WaveState(NamedTuple):
     rays: jnp.ndarray
 
 
+class PixOrders(NamedTuple):
+    """Per-ray pixel-order arrays, passed to every stage as a jit
+    ARGUMENT pytree (device-resident, uploaded once at renderer build).
+
+    These used to be numpy closure constants embedded into each stage
+    program — but a single embedded 15 MB constant measures +4.6 s of
+    remote compile and +41 MB of serialized executable on this backend
+    (benchmarks/probe_par_compile.py follow-up, round 4), and the five
+    per-ray arrays inflated the fused bunny stages to 190–360 MB each.
+    As arguments they cost one H2D upload and nothing at compile time.
+
+    In mesh mode the per-ray fields are GLOBAL arrays over the flat ray
+    axis, sharded by shard_map exactly like WaveState — each shard's
+    slice equals what the old axis_index-based closure computed."""
+
+    px: jnp.ndarray  # (N,) i32 pixel x (screen-tile order)
+    py: jnp.ndarray  # (N,) i32 pixel y
+    pid: jnp.ndarray  # (N,) u32 RNG pixel key (y * w + x)
+    lin: jnp.ndarray  # (N,) i32 linear pixel id (pads ≥ w·h)
+    ds: jnp.ndarray  # (N,) u32 within-batch sample index
+    soff: jnp.ndarray  # (N,) u32 sample-shard offset (s_id * spp)
+    linear: jnp.ndarray  # (n_px_padded,) i32 tile→raster ids (resolve)
+
+
 def make_staged_renderer(ds, accel, *, meta: SceneMeta,
                          config: RenderConfig, mesh=None):
     """Build the per-stage jitted functions for a scene + config.
@@ -124,53 +148,48 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         py_r.astype(np.uint32) * np.uint32(w) + px_r.astype(np.uint32)
     )
     n = local_px * spp  # rays per shard
-    linear = linear_p
 
-    # per-tile-shard pixel chunks (mesh mode indexes them by axis_index)
+    # per-tile-shard pixel chunks (the global flat-ray-axis composition
+    # below concatenates them in shard order)
     px_c = px_p.reshape(n_tile, local_px)
     py_c = py_p.reshape(n_tile, local_px)
     pid_c = pixel_id[: n_px + pad].reshape(n_tile, local_px)
-
-    # linear-style per-ray ids (pads ≥ w·h so resolve can drop them) and
-    # within-batch sample indices — carried in WaveState (see class doc)
-    lin_r = np.tile(linear_p, spp).astype(np.int32)
-    ds_r = np.repeat(np.arange(spp, dtype=np.uint32), local_px)
     lin_c = linear_p.reshape(n_tile, local_px).astype(np.int32)
+    ds_r = np.repeat(np.arange(spp, dtype=np.uint32), local_px)
 
-    def _local_ctx():
-        """(px_r, py_r, pixel_id, sample_offset) for the executing shard."""
-        if mesh is None:
-            return px_r, py_r, pixel_id, jnp.uint32(0)
-        t_id = jax.lax.axis_index("tile")
-        s_id = jax.lax.axis_index("sample")
-        pxl = jnp.asarray(px_c)[t_id]
-        pyl = jnp.asarray(py_c)[t_id]
-        pid = jnp.asarray(pid_c)[t_id]
-        return (
-            jnp.tile(pxl, spp),
-            jnp.tile(pyl, spp),
-            jnp.tile(pid, spp),
-            s_id.astype(jnp.uint32) * jnp.uint32(spp),
+    # GLOBAL per-ray pixel-order arrays over the flat ray axis (shard
+    # order: sample-major, then tile — exactly shard_map's split of
+    # P(("sample", "tile"))); single-chip is the 1×1 degenerate case.
+    # Device arrays passed as stage ARGUMENTS — see PixOrders.
+    def _per_tile(chunks):
+        return np.concatenate(
+            [np.tile(chunks[t], spp) for t in range(n_tile)]
         )
 
-    def _local_ids():
-        """(pix, ds) for the executing shard (WaveState id fields)."""
-        if mesh is None:
-            return jnp.asarray(lin_r), jnp.asarray(ds_r)
-        t_id = jax.lax.axis_index("tile")
-        return (
-            jnp.tile(jnp.asarray(lin_c)[t_id], spp),
-            jnp.asarray(ds_r),
-        )
+    px_g = np.tile(_per_tile(px_c), n_sample)
+    py_g = np.tile(_per_tile(py_c), n_sample)
+    pid_g = np.tile(_per_tile(pid_c), n_sample)
+    lin_g = np.tile(_per_tile(lin_c), n_sample)
+    ds_g = np.tile(ds_r, n_tile * n_sample)
+    soff_g = np.repeat(
+        np.arange(n_sample, dtype=np.uint32) * np.uint32(spp),
+        n_tile * n,
+    )
+    pox = PixOrders(
+        px=jnp.asarray(px_g, jnp.int32),
+        py=jnp.asarray(py_g, jnp.int32),
+        pid=jnp.asarray(pid_g, jnp.uint32),
+        lin=jnp.asarray(lin_g, jnp.int32),
+        ds=jnp.asarray(ds_g, jnp.uint32),
+        soff=jnp.asarray(soff_g, jnp.uint32),
+        linear=jnp.asarray(linear_p, jnp.int32),
+    )
 
-    def _sampler(seed, sample0):
-        _, _, pid, s_off = _local_ctx()
+    def _sampler(pox, seed, sample0):
         sample_idx = (
-            jnp.asarray(sample0, jnp.uint32)
-            + s_off
-            + jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), local_px)
+            jnp.asarray(sample0, jnp.uint32) + pox.soff + pox.ds
         )
-        return PixelSampler.make(seed, sample_idx, pid)
+        return PixelSampler.make(seed, sample_idx, pox.pid)
 
     def _psum_counts(x):
         """Per-shard counter increments → replicated totals (mesh mode)."""
@@ -183,6 +202,8 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             org=rp, dirn=rp, radiance=rp, throughput=rp, alive=rp,
             allow_emission=rp, pix=rp, ds=rp, rays=P(),
         )
+        pox_spec = PixOrders(px=rp, py=rp, pid=rp, lin=rp, ds=rp,
+                             soff=rp, linear=P())
         from tpurt.render.intersectors import Hit
 
         hit_spec = Hit(t=rp, u=rp, v=rp, tri=rp, inst=rp, valid=rp,
@@ -215,14 +236,13 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             return jax.jit(body)
         return cached_jit(body, name, cfg_key)
 
-    def raygen_body(cam: Camera, seed, sample0) -> WaveState:
-        pxl, pyl, _, _ = _local_ctx()
-        sampler = _sampler(seed, sample0)
+    def raygen_body(pox: PixOrders, cam: Camera, seed,
+                    sample0) -> WaveState:
+        sampler = _sampler(pox, seed, sample0)
         uj = sampler.u2(TAG_JITTER)
         org, dirn = camera_rays(
-            cam, pxl, pyl, w, h, jitter=(uj[..., 0], uj[..., 1])
+            cam, pox.px, pox.py, w, h, jitter=(uj[..., 0], uj[..., 1])
         )
-        pix, dsamp = _local_ids()
         return WaveState(
             org=org,
             dirn=dirn,
@@ -230,8 +250,8 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             throughput=jnp.ones((n, 3), jnp.float32),
             alive=jnp.ones(n, bool),
             allow_emission=jnp.ones(n, bool),
-            pix=pix,
-            ds=dsamp,
+            pix=pox.lin,
+            ds=pox.ds,
             rays=jnp.zeros(NCOUNT, jnp.float32),
         )
 
@@ -240,7 +260,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     else:
         raygen = _smap(
             raygen_body,
-            in_specs=(Camera(P(), P(), P(), P()), P(), P()),
+            in_specs=(pox_spec, Camera(P(), P(), P(), P()), P(), P()),
             out_specs=state_spec,
         )
 
@@ -284,7 +304,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     trace0 = _make_trace("primary")
     traceN = _make_trace("bounce")
 
-    def shade_body(ds, accel, state: WaveState, hit, seed, sample0,
+    def shade_body(ds, accel, pox, state: WaveState, hit, seed, sample0,
                    bounce, presorted=False):
         """Pure-XLA stage: miss/emission events, NEE shadow-ray setup,
         bounce sampling. ``bounce`` is a device scalar — one executable
@@ -301,7 +321,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
                 state.pix.astype(jnp.uint32),
             )
         else:
-            sampler = _sampler(seed, sample0)
+            sampler = _sampler(pox, seed, sample0)
         resolver = materials.make_resolver(
             ds, accel, texture_filter=config.texture_filter)
         hit_valid = hit.valid & state.alive
@@ -375,7 +395,8 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     else:
         shade = _smap(
             shade_body,
-            in_specs=(P(), P(), state_spec, hit_spec, P(), P(), P()),
+            in_specs=(P(), P(), pox_spec, state_spec, hit_spec, P(),
+                      P(), P()),
             out_specs=(state_spec,
                        shadow_spec if config.use_nee else None),
         )
@@ -439,7 +460,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
                 total = total + g[s]
         return total, state.rays
 
-    def _to_raster(total, rays):
+    def _to_raster(pox, total, rays):
         """(padded_px, 3) tile-order sums → (H, W, 3) raster image.
 
         The tile→raster permutation rides a 4-operand lax.sort: XLA
@@ -447,8 +468,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         gather/scatter-vs-sort law, PARITY.md). Padding pixels carry
         linear ids ≥ w·h, sort to the back, and are sliced off."""
         _, r, g, b = jax.lax.sort(
-            (jnp.asarray(linear), total[:, 0], total[:, 1],
-             total[:, 2]),
+            (pox.linear, total[:, 0], total[:, 1], total[:, 2]),
             num_keys=1,
         )
         img = jnp.stack([r, g, b], axis=1)[: w * h]
@@ -456,7 +476,8 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
 
     if mesh is None:
         resolve = _cjit(
-            lambda state: _to_raster(*resolve_body(state)), "resolve"
+            lambda pox, state: _to_raster(pox, *resolve_body(state)),
+            "resolve",
         )
     else:
         _resolve_sharded = _smap(
@@ -466,8 +487,8 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         )
 
         @jax.jit
-        def resolve(state):
-            return _to_raster(*_resolve_sharded(state))
+        def resolve(pox, state):
+            return _to_raster(pox, *_resolve_sharded(state))
 
     # TPURT_FUSE_STAGES=1: halve the program count per bounce by fusing
     # raygen into the primary trace and shade into the occlusion trace.
@@ -477,13 +498,14 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     # stage-blocked walls show ~40 ms of tunnel dispatch baseline per
     # program on this backend — fewer programs is a direct e2e win if
     # the fused forms compile clean (hardware A/B gates the default).
-    def raygen_trace0_body(ds, accel, cam, seed, sample0):
-        state = raygen_body(cam, seed, sample0)
+    def raygen_trace0_body(ds, accel, pox, cam, seed, sample0):
+        state = raygen_body(pox, cam, seed, sample0)
         return _trace_body(ds, accel, state, wave="primary")
 
-    def shade_occlude_body(ds, accel, state, hit, seed, sample0, bounce):
-        state, shadow = shade_body(ds, accel, state, hit, seed, sample0,
-                                   bounce)
+    def shade_occlude_body(ds, accel, pox, state, hit, seed, sample0,
+                           bounce):
+        state, shadow = shade_body(ds, accel, pox, state, hit, seed,
+                                   sample0, bounce)
         if config.use_nee:
             state = occlude_body(ds, accel, state, shadow)
         return state
@@ -494,12 +516,14 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     else:
         raygen_trace0 = _smap(
             raygen_trace0_body,
-            in_specs=(P(), P(), Camera(P(), P(), P(), P()), P(), P()),
+            in_specs=(P(), P(), pox_spec, Camera(P(), P(), P(), P()),
+                      P(), P()),
             out_specs=(hit_spec, state_spec),
         )
         shade_occlude = _smap(
             shade_occlude_body,
-            in_specs=(P(), P(), state_spec, hit_spec, P(), P(), P()),
+            in_specs=(P(), P(), pox_spec, state_spec, hit_spec, P(),
+                      P(), P()),
             out_specs=state_spec,
         )
 
@@ -513,19 +537,20 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     # worth ~0.24 s of dispatch baseline on the bunny bench (~+25%) if it
     # compiles clean — qualify with an expendable-subprocess hardware A/B
     # before ever defaulting it on.
-    def whole_batch_body(ds, accel, cam, seed, sample0):
-        state = raygen_body(cam, seed, sample0)
+    def whole_batch_body(ds, accel, pox, cam, seed, sample0):
+        state = raygen_body(pox, cam, seed, sample0)
         for bounce in range(config.max_bounces + 1):
             hit, state = _trace_body(
                 ds, accel, state,
                 wave="primary" if bounce == 0 else "bounce",
             )
             state, shadow = shade_body(
-                ds, accel, state, hit, seed, sample0, jnp.uint32(bounce)
+                ds, accel, pox, state, hit, seed, sample0,
+                jnp.uint32(bounce)
             )
             if shadow is not None:
                 state = occlude_body(ds, accel, state, shadow)
-        return _to_raster(*resolve_body(state))
+        return _to_raster(pox, *resolve_body(state))
 
     whole_batch = (_cjit(whole_batch_body, "whole_batch")
                    if mesh is None else None)
@@ -585,8 +610,8 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             rays=state.rays,
         )
 
-    def shade_occlude_sorted_body(ds, accel, state, hit, seed, sample0,
-                                  bounce, last=False, cap=0):
+    def shade_occlude_sorted_body(ds, accel, pox, state, hit, seed,
+                                  sample0, bounce, last=False, cap=0):
         """Sorted-mode fused stage: shade + occlude in the carried order,
         then (mid bounces) the payload-through sort of the NEXT wave.
 
@@ -599,8 +624,8 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         the live_overflow slot (render_scene re-renders uncapped — a
         truncated wave never silently survives, same contract as the
         pair budgets)."""
-        state, shadow = shade_body(ds, accel, state, hit, seed, sample0,
-                                   bounce, presorted=True)
+        state, shadow = shade_body(ds, accel, pox, state, hit, seed,
+                                   sample0, bounce, presorted=True)
         if config.use_nee:
             state = occlude_body(ds, accel, state, shadow,
                                  presorted=True)
@@ -673,10 +698,13 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             "shade_occlude_sorted_last",
         )
         so_sorted = []
+        so_bodies = []  # underlying body per stage (prewarm eval_shape)
         n_cur = n
         for b in range(config.max_bounces + 1):
             if b == config.max_bounces:
                 so_sorted.append(_so_last)
+                so_bodies.append(functools.partial(
+                    shade_occlude_sorted_body, last=True))
                 continue
             cap = 0
             if b < len(config.live_caps) and config.live_caps[b] > 0:
@@ -684,14 +712,16 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
                 if cap >= n_cur:
                     cap = 0
             if cap:
+                body_b = functools.partial(shade_occlude_sorted_body,
+                                           cap=cap)
                 so_sorted.append(_cjit(
-                    functools.partial(shade_occlude_sorted_body,
-                                      cap=cap),
-                    f"shade_occlude_sorted_b{b}",
+                    body_b, f"shade_occlude_sorted_b{b}",
                 ))
+                so_bodies.append(body_b)
                 n_cur = cap
             else:
                 so_sorted.append(_so_shared)
+                so_bodies.append(shade_occlude_sorted_body)
         resolve_sorted = _cjit(resolve_sorted_body, "resolve_sorted")
     else:
         trace_sorted = None
@@ -743,19 +773,19 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     def render_batch(cam, seed, sample0):
         if (fuse_bounces and whole_batch is not None
                 and config.shading_mode != "flat"):
-            return whole_batch(ds, accel, cam, seed, sample0)
+            return whole_batch(ds, accel, pox, cam, seed, sample0)
         if use_sorted and config.shading_mode != "flat":
             hit = state = None
             tails = []
             for bounce in range(config.max_bounces + 1):
                 if bounce == 0:
-                    hit, state = raygen_trace0(ds, accel, cam, seed,
-                                               sample0)
+                    hit, state = raygen_trace0(ds, accel, pox, cam,
+                                               seed, sample0)
                 else:
                     hit, state = trace_sorted(ds, accel, state)
                 _dbg(f"trace[{bounce}]", hit.t)
                 state, tail = so_sorted[bounce](
-                    ds, accel, state, hit, seed, sample0,
+                    ds, accel, pox, state, hit, seed, sample0,
                     jnp.uint32(bounce)
                 )
                 if tail is not None:
@@ -766,20 +796,20 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             hit = state = None
             for bounce in range(config.max_bounces + 1):
                 if bounce == 0:
-                    hit, state = raygen_trace0(ds, accel, cam, seed,
-                                               sample0)
+                    hit, state = raygen_trace0(ds, accel, pox, cam,
+                                               seed, sample0)
                 else:
                     hit, state = traceN(ds, accel, state)
                 _dbg(f"trace[{bounce}]", hit.t)
-                state = shade_occlude(ds, accel, state, hit, seed,
+                state = shade_occlude(ds, accel, pox, state, hit, seed,
                                       sample0, jnp.uint32(bounce))
                 _dbg(f"shade_occlude[{bounce}]", state.radiance)
-            return resolve(state)
-        state = raygen(cam, seed, sample0)
+            return resolve(pox, state)
+        state = raygen(pox, cam, seed, sample0)
         _dbg("raygen", state.org)
         if config.shading_mode == "flat":
             hit, state = trace0(ds, accel, state)
-            return _flat_resolve(ds, accel, state, hit)
+            return _flat_resolve(ds, accel, pox, state, hit)
         for bounce in range(config.max_bounces + 1):
             if capture and bounce > 0:
                 _capture(f"bounce{bounce}_wave", org=state.org,
@@ -789,7 +819,8 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             )
             _dbg(f"trace[{bounce}]", hit.t)
             b = jnp.uint32(bounce)
-            state, shadow = shade(ds, accel, state, hit, seed, sample0, b)
+            state, shadow = shade(ds, accel, pox, state, hit, seed,
+                                  sample0, b)
             _dbg(f"shade[{bounce}]", state.radiance)
             if shadow is not None:
                 if capture:
@@ -798,9 +829,95 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
                              want=shadow[4])
                 state = occlude(ds, accel, state, shadow)
                 _dbg(f"occlude[{bounce}]", state.radiance)
-        return resolve(state)
+        return resolve(pox, state)
 
-    def _flat_resolve_body(ds, accel, state: WaveState, hit):
+    def prewarm(cam, seed=0, sample0=0):
+        """Compile (or AOT-load) every stage executable of the ACTIVE
+        pipeline path concurrently, before the first batch runs.
+
+        The remote Mosaic compile service accepts parallel requests
+        (benchmarks/probe_par_compile.py: 6.35x thread concurrency), so
+        a cold start pays ~max(stage compile) instead of the sum —
+        the round-2/3 cold bunny warmup was 500–1800 s of SEQUENTIAL
+        stage compiles. Stage argument avals are derived by chaining
+        jax.eval_shape through the stage bodies; seed/sample0 must be
+        Python ints exactly like render_scene's real calls (the AOT
+        cache keys on argument avals). Returns the number of stage
+        executables made ready, 0 when prewarm does not apply (mesh
+        mode, flat shading, CPU, cache disabled)."""
+        from tpurt.utils import aotcache
+
+        if mesh is not None or config.shading_mode == "flat":
+            return 0
+        if not aotcache.enabled():
+            return 0
+        b0 = jnp.uint32(0)
+        jobs = []  # (cached_jit wrapper, args)
+        if fuse_bounces and whole_batch is not None:
+            jobs.append(
+                (whole_batch, (ds, accel, pox, cam, seed, sample0)))
+        elif use_sorted:
+            hs, ss = jax.eval_shape(
+                raygen_trace0_body, ds, accel, pox, cam, seed, sample0)
+            jobs.append(
+                (raygen_trace0, (ds, accel, pox, cam, seed, sample0)))
+            trace_sorted_body = functools.partial(
+                _trace_body, wave="presorted")
+            tails = []
+            for b in range(config.max_bounces + 1):
+                if b > 0:
+                    jobs.append((trace_sorted, (ds, accel, ss)))
+                    hs, ss = jax.eval_shape(
+                        trace_sorted_body, ds, accel, ss)
+                jobs.append(
+                    (so_sorted[b], (ds, accel, pox, ss, hs, seed,
+                                    sample0, b0)))
+                ss, tail = jax.eval_shape(
+                    so_bodies[b], ds, accel, pox, ss, hs, seed, sample0,
+                    b0)
+                if tail is not None:
+                    tails.append(tail)
+            jobs.append((resolve_sorted, (ss, tuple(tails))))
+        elif fuse:
+            hs, ss = jax.eval_shape(
+                raygen_trace0_body, ds, accel, pox, cam, seed, sample0)
+            jobs.append(
+                (raygen_trace0, (ds, accel, pox, cam, seed, sample0)))
+            jobs.append((traceN, (ds, accel, ss)))
+            jobs.append(
+                (shade_occlude, (ds, accel, pox, ss, hs, seed, sample0,
+                                 b0)))
+            jobs.append((resolve, (pox, ss)))
+        else:
+            ss = jax.eval_shape(raygen_body, pox, cam, seed, sample0)
+            jobs.append((raygen, (pox, cam, seed, sample0)))
+            jobs.append((trace0, (ds, accel, ss)))
+            hs, ss1 = jax.eval_shape(
+                functools.partial(_trace_body, wave="primary"),
+                ds, accel, ss)
+            jobs.append((traceN, (ds, accel, ss)))
+            jobs.append(
+                (shade, (ds, accel, pox, ss1, hs, seed, sample0, b0)))
+            ss2, shadow = jax.eval_shape(
+                shade_body, ds, accel, pox, ss1, hs, seed, sample0, b0)
+            if shadow is not None:
+                jobs.append((occlude, (ds, accel, ss2, shadow)))
+            jobs.append((resolve, (pox, ss2)))
+
+        runnable = [(fnw, a) for fnw, a in jobs
+                    if getattr(fnw, "prewarm", None) is not None]
+        if not runnable:
+            return 0
+        import concurrent.futures as _cf
+
+        with _cf.ThreadPoolExecutor(max_workers=len(runnable)) as ex:
+            done = list(ex.map(
+                lambda job: job[0].prewarm(*job[1]), runnable))
+        return sum(bool(d) for d in done)
+
+    render_batch.prewarm = prewarm
+
+    def _flat_resolve_body(ds, accel, pox, state: WaveState, hit):
         attrs = materials.make_resolver(
             ds, accel, texture_filter=config.texture_filter)(
             state.org, state.dirn, hit.t, hit.u, hit.v, hit.tri,
@@ -809,7 +926,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         radiance = jnp.where(
             hit.valid[:, None], attrs.albedo, ds.background
         )
-        return resolve(state._replace(radiance=radiance))
+        return resolve(pox, state._replace(radiance=radiance))
 
     _flat_resolve = _cjit(_flat_resolve_body, "flat_resolve")
 

@@ -44,7 +44,6 @@ def _dbg(msg):
         print(f"[tpurt aot-cache] {msg}", flush=True)
 
 _CODE_HASH = None
-_LOCK = threading.Lock()
 
 # env flags that change the traced program or the Mosaic kernels
 _ENV_FLAGS = (
@@ -126,7 +125,15 @@ def cached_jit(fn, name: str, static_key=()):
     """jax.jit with a disk-backed executable cache (see module docstring).
 
     Returns a callable; per argument-shape set the underlying executable
-    is loaded from disk or compiled-and-stored once."""
+    is loaded from disk or compiled-and-stored once. The callable carries
+    a ``.prewarm(*args, **kwargs)`` method that loads-or-compiles the
+    executable for those argument avals WITHOUT executing it —
+    ``jax.ShapeDtypeStruct`` leaves are accepted in place of arrays.
+    Different stages' prewarms may run concurrently (each wrapper has its
+    own lock): the remote Mosaic compile service accepts parallel
+    requests (benchmarks/probe_par_compile.py measured 6.35x thread
+    concurrency), so a parallel prewarm pays max(stage compiles) instead
+    of sum."""
     import jax
 
     jitted = jax.jit(fn)
@@ -135,6 +142,19 @@ def cached_jit(fn, name: str, static_key=()):
 
     compiled_by_key: dict = {}
     fell_back = [False]
+    lock = threading.Lock()  # per-wrapper: stages compile concurrently
+
+    def _get_compiled(key, args, kwargs):
+        compiled = compiled_by_key.get(key)
+        if compiled is None:
+            with lock:
+                compiled = compiled_by_key.get(key)
+                if compiled is None:
+                    compiled = _load_or_compile(jitted, name, key, args,
+                                                kwargs)
+                    if compiled is not None:
+                        compiled_by_key[key] = compiled
+        return compiled
 
     def wrapper(*args, **kwargs):
         if fell_back[0]:
@@ -145,17 +165,10 @@ def cached_jit(fn, name: str, static_key=()):
             _dbg(f"{name}: key computation failed ({e!r}); plain jit")
             fell_back[0] = True
             return jitted(*args, **kwargs)
-        compiled = compiled_by_key.get(key)
-        if compiled is None:
-            with _LOCK:
-                compiled = compiled_by_key.get(key)
-                if compiled is None:
-                    compiled = _load_or_compile(jitted, name, key, args,
-                                                kwargs)
-                    if compiled is None:  # unsupported → permanent fallback
-                        fell_back[0] = True
-                        return jitted(*args, **kwargs)
-                    compiled_by_key[key] = compiled
+        compiled = _get_compiled(key, args, kwargs)
+        if compiled is None:  # unsupported → permanent fallback
+            fell_back[0] = True
+            return jitted(*args, **kwargs)
         try:
             return compiled(*args, **kwargs)
         except Exception as e:
@@ -166,6 +179,18 @@ def cached_jit(fn, name: str, static_key=()):
             fell_back[0] = True
             return jitted(*args, **kwargs)
 
+    def prewarm(*args, **kwargs) -> bool:
+        """Load or compile the executable for these arg avals; no run."""
+        if fell_back[0]:
+            return False
+        try:
+            key = _key(name, static_key, args, kwargs)
+        except Exception as e:
+            _dbg(f"{name}: prewarm key failed ({e!r})")
+            return False
+        return _get_compiled(key, args, kwargs) is not None
+
+    wrapper.prewarm = prewarm
     return wrapper
 
 
