@@ -1695,6 +1695,12 @@ def _launch_tiles_loop(off, pair_cl, org, dirn, t_max_vec, tri_rows, *,
         grid_spec=grid_spec,
         out_shape=[out_shape],
         interpret=interpret,
+        # entry-row mode runs ONE launch over the whole wave: the dense
+        # entries operand alone is ~13 MB VMEM at bench scale, over the
+        # 16 MB default cap (v5e has 128 MB physical VMEM)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(*operands)[0]
     (out,) = jax.lax.optimization_barrier((out,))
     out = out.reshape(n_tiles, n_out, SUB, 128)
@@ -1821,7 +1827,20 @@ def make_tile_intersector(ds, accel: PairAccel, *,
         )
         eff_avg = pairs_avg if avg_over is None else avg_over
         avg = clamp if eff_avg <= 0 else min(eff_avg, clamp)
-        if use_loop:
+        entry_rows_on = _os.environ.get("TPURT_ENTRY_ROWS", "1") == "1"
+        if use_loop and entry_rows_on:
+            # entry-row mode has no SMEM pair list, so the SMEM-capacity
+            # launch chunking is pointless — and actively harmful: each
+            # chunk is its own pallas_call SITE, and the remote Mosaic
+            # service compiles every site (a 15-chunk bunny bounce trace
+            # paid 15 identical kernel compiles per stage program,
+            # round-4 warmup finding). One launch over the whole wave:
+            # grid=(n_tiles,), entries as a VMEM operand (13 MB at bench
+            # scale — under the raised vmem cap), counts via scalar
+            # prefetch.
+            chunk_tiles = n_tiles
+            pcap = 0  # unused on the entry-row path
+        elif use_loop:
             # pair-loop mode: fixed tiles-per-launch; capacity comes
             # from the UNIFIED budget so every wave shares one variant
             cap_avg = pairs_avg_cap if pairs_avg_cap > 0 else max(
