@@ -104,8 +104,12 @@ def test_fusion_variants_bit_exact(monkeypatch, variant):
         np.testing.assert_array_equal(
             np.asarray(rays_f), np.asarray(rays_b))
     else:
+        # whole-batch XLA fusion changes shade-math rounding enough to
+        # flip a borderline NEE `want` ray (~±1-2 counts) — seen on the
+        # aggregate shadow slot before round 4; the per-bounce want
+        # slots (smaller magnitudes) need the absolute term too
         np.testing.assert_allclose(
-            np.asarray(rays_f), np.asarray(rays_b), rtol=1e-3)
+            np.asarray(rays_f), np.asarray(rays_b), rtol=1e-3, atol=2)
         diff = np.abs(np.asarray(img_f) - np.asarray(img_b))
         assert float((diff > 1e-3).mean()) < 0.02, (diff > 1e-3).mean()
         assert float(np.sqrt((diff ** 2).mean())) < 1e-2

@@ -1723,7 +1723,9 @@ def make_tile_intersector(ds, accel: PairAccel, *,
                           shadow_ray_sort: str = "octant",
                           shadow_pairs_avg: int = 0,
                           pairs_avg_cap: int = 0,
-                          lean: bool = False):
+                          lean: bool = False,
+                          live_cap: int = 0,
+                          shadow_live_cap: int = 0):
     """Closest/any-hit pair over uniform Morton clusters, tile-granular
     (same interface as make_brute_force / make_packet_intersector).
 
@@ -1760,7 +1762,18 @@ def make_tile_intersector(ds, accel: PairAccel, *,
     inv_xform = getattr(accel, "inv_xform", None)
     two_level = pair_meta is not None
 
-    def _run(org, dirn, t_max, any_hit=False, sort=None, avg_over=None):
+    def _run(org, dirn, t_max, any_hit=False, sort=None, avg_over=None,
+             live_trunc=0):
+        """``live_trunc`` (static, rays): live-wave truncation for internally
+        sorted waves (round 4 — the default-pipeline analog of the
+        sorted-wave pipeline's G8 compaction). The forward octant sort
+        puts dead rays (tmv < 0) at the back, so slicing the sorted wave
+        at a cap ≥ its live count drops only dead rays — the mask
+        kernel, entry build, and traversal grid all shrink to the live
+        prefix. Any ALIVE ray past the cap is counted into stats[2]
+        (live overflow): render_scene re-renders uncapped, so a
+        truncated wave never silently survives (same contract as the
+        sorted-wave caps). Caps come from measured autotune tables."""
         sort = ray_sort if sort is None else sort
         n = org.shape[0]
         tmv = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -1819,6 +1832,9 @@ def make_tile_intersector(ds, accel: PairAccel, *,
                 per_tile_clamp=0,
                 interpret=interpret, any_hit=any_hit, all_pairs=True,
                 **capkw, **tlkw,
+            )
+            stats = jnp.concatenate(
+                [stats, jnp.zeros(1, jnp.float32)]  # live overflow slot
             )
             return bt[:n], bu[:n], bv[:n], bs[:n], bi[:n], stats
         clamp = (
@@ -1906,6 +1922,32 @@ def make_tile_intersector(ds, accel: PairAccel, *,
             org = jnp.stack([ox_s, oy_s, oz_s], axis=1)
             dirn = jnp.stack([dx_s, dy_s, dz_s], axis=1)
             tmv = tm_s
+        # live-wave truncation (see _run docstring): only meaningful when
+        # the wave was just sorted dead-to-back
+        live_over = jnp.zeros((), jnp.float32)
+        n_full = n_tiles * TILE
+        if live_trunc and restore_key is not None:
+            kt = min(n_tiles, -(-int(live_trunc) // TILE))
+            if entry_rows_on and use_loop:
+                chunk_aligned = kt  # single-launch path: any tile count
+            else:
+                # budget path launches fixed-shape chunks; keep the
+                # truncated wave a whole number of chunks
+                chunk_aligned = min(
+                    n_tiles, -(-kt // chunk_tiles) * chunk_tiles
+                )
+            kt = chunk_aligned
+            if kt < n_tiles:
+                live_over = jnp.sum(
+                    (tmv[kt * TILE:] >= 0.0).astype(jnp.float32)
+                )
+                org = org[: kt * TILE]
+                dirn = dirn[: kt * TILE]
+                tmv = tmv[: kt * TILE]
+                n_tiles = kt
+                if entry_rows_on and use_loop:
+                    chunk_tiles = kt
+                n_chunks = -(-n_tiles // chunk_tiles)
         lo_d, hi_d = jnp.asarray(lo), jnp.asarray(hi)
         rows_d = jnp.asarray(tri_rows)
         outs = []
@@ -1938,6 +1980,18 @@ def make_tile_intersector(ds, accel: PairAccel, *,
                 [sum(o[5][0] for o in outs),
                  jnp.max(jnp.stack([o[5][1] for o in outs]))]
             )
+        if bt.shape[0] < n_full:
+            # truncated wave: the dropped tail is dead rays (or counted
+            # live overflow) — pad with the kernel's dead-lane init
+            # values (bt −1, bs −1, bi −1) before un-permuting
+            pad_n = n_full - bt.shape[0]
+            bt = jnp.concatenate([bt, jnp.full(pad_n, -1.0, jnp.float32)])
+            bu = jnp.concatenate([bu, jnp.zeros(pad_n, jnp.float32)])
+            bv = jnp.concatenate([bv, jnp.zeros(pad_n, jnp.float32)])
+            bs = jnp.concatenate([bs, jnp.full(pad_n, -1.0, jnp.float32)])
+            bi = jnp.concatenate([bi, jnp.full(
+                pad_n, -1.0 if pair_meta is not None else 0.0,
+                jnp.float32)])
         if restore_key is not None:
             # Un-permute ONLY the fields the caller consumes: any-hit
             # waves read just bs (occluded = bs ≥ 0), and bi is all-zero
@@ -1954,6 +2008,7 @@ def make_tile_intersector(ds, accel: PairAccel, *,
                 _, bt, bu, bv, bs = jax.lax.sort(
                     (restore_key, bt, bu, bv, bs), num_keys=1
                 )
+        stats = jnp.concatenate([stats, live_over[None]])
         return bt[:n], bu[:n], bv[:n], bs[:n], bi[:n], stats
 
     def _hit_from(bt, bu, bv, bs, bi):
@@ -1990,26 +2045,30 @@ def make_tile_intersector(ds, accel: PairAccel, *,
 
     def closest(org, dirn, t_min, t_max) -> Hit:
         del t_min
-        bt, bu, bv, bs, bi, _ = _run(org, dirn, t_max)
+        bt, bu, bv, bs, bi, _ = _run(org, dirn, t_max,
+                                     live_trunc=live_cap)
         return _hit_from(bt, bu, bv, bs, bi)
 
     def any_hit(org, dirn, t_min, t_max):
         del t_min
         _, _, _, bs, _, _ = _run(org, dirn, t_max, any_hit=True,
                                  sort=shadow_ray_sort,
-                                 avg_over=shadow_pairs_avg or None)
+                                 avg_over=shadow_pairs_avg or None,
+                                 live_trunc=shadow_live_cap)
         return bs >= 0.0
 
     def closest_with_stats(org, dirn, t_min, t_max):
         del t_min
-        bt, bu, bv, bs, bi, stats = _run(org, dirn, t_max)
+        bt, bu, bv, bs, bi, stats = _run(org, dirn, t_max,
+                                         live_trunc=live_cap)
         return _hit_from(bt, bu, bv, bs, bi), stats
 
     def any_hit_with_stats(org, dirn, t_min, t_max):
         del t_min
         _, _, _, bs, _, stats = _run(org, dirn, t_max, any_hit=True,
                                      sort=shadow_ray_sort,
-                                     avg_over=shadow_pairs_avg or None)
+                                     avg_over=shadow_pairs_avg or None,
+                                     live_trunc=shadow_live_cap)
         return bs >= 0.0, stats
 
     closest.with_stats = closest_with_stats

@@ -163,13 +163,19 @@ def render_scene(
 
     from tpurt.utils import autotune
 
-    # live-wave truncation (sorted-wave pipeline): apply measured caps
-    # when the config carries none. TPURT_LIVE_TRUNC=0 disables for A/B.
-    if (not config.live_caps
-            and os.environ.get("TPURT_LIVE_TRUNC", "1") == "1"):
-        caps = autotune.live_caps_for(config)
-        if caps:
-            config = dataclasses.replace(config, live_caps=caps)
+    # live-wave truncation (sorted-wave pipeline AND, since round 4, the
+    # default staged pipeline's per-bounce capped trace/occlude stages):
+    # apply measured caps when the config carries none.
+    # TPURT_LIVE_TRUNC=0 disables for A/B.
+    if os.environ.get("TPURT_LIVE_TRUNC", "1") == "1":
+        if not config.live_caps:
+            caps = autotune.live_caps_for(config)
+            if caps:
+                config = dataclasses.replace(config, live_caps=caps)
+        if not config.shadow_caps and config.use_nee:
+            scaps = autotune.want_caps_for(config)
+            if scaps:
+                config = dataclasses.replace(config, shadow_caps=scaps)
 
     state0 = state
     retries = 0
@@ -190,10 +196,13 @@ def render_scene(
 
             warnings.warn(
                 "live-wave cap truncated alive rays "
-                f"(caps={config.live_caps}) — re-rendering uncapped",
+                f"(caps={config.live_caps}, "
+                f"shadow={config.shadow_caps}) — re-rendering uncapped",
                 RuntimeWarning,
             )
-            config = dataclasses.replace(config, live_caps=())
+            config = dataclasses.replace(
+                config, live_caps=(), shadow_caps=()
+            )
             continue
         if not stats.get("pair_overflow"):
             return out_state, stats
@@ -425,8 +434,16 @@ def _render_scene_once(
         # live-wave totals (summed over batches — the live-cap autotune
         # divides by the batch count)
         "live_overflow": bool(rays[3] > 0.0) if rays.shape[0] > 3 else False,
+        # counter tail: live-after-bounce-b then want-at-bounce-b
+        # (render/staged.py NCOUNT layout)
         "live_counts": (
-            [float(v) for v in rays[4:]] if rays.shape[0] > 4 else []
+            [float(v)
+             for v in rays[4:4 + config.max_bounces + 1]]
+            if rays.shape[0] > 4 else []
+        ),
+        "want_counts": (
+            [float(v) for v in rays[4 + config.max_bounces + 1:]]
+            if rays.shape[0] > 4 + config.max_bounces + 1 else []
         ),
         "mrays_per_s": n_rays / max(elapsed, 1e-9) / 1e6,
     }

@@ -192,7 +192,8 @@ def path_trace_rays(
 
 def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
                       config: RenderConfig, wave: str = "bounce",
-                      lean: bool = True):
+                      lean: bool = True, live_cap: int = 0,
+                      shadow_live_cap: int = 0):
     """Closest/any-hit pair: Pallas packet kernel (PacketAccel), two-level
     jnp BVH (SceneAccel), or dense brute force (tiny scenes / oracle).
 
@@ -249,6 +250,11 @@ def make_intersectors(ds: DeviceScene, accel, *, meta: SceneMeta,
             pairs_avg_cap=max(config.pairs_avg, config.pairs_avg_bounce,
                               config.pairs_avg_shadow),
             lean=lean,
+            # measured live-wave truncation (round 4): static per-bounce
+            # caps on the internally-sorted closest/shadow waves — the
+            # default-pipeline G8 compaction (see tilewave._run)
+            live_cap=live_cap,
+            shadow_live_cap=shadow_live_cap,
         )
     if isinstance(accel, PacketAccel) or (
         isinstance(accel, tuple) and hasattr(accel, "tri_rows")

@@ -115,7 +115,10 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     spp = config.spp_per_batch
     # counter-vector length (WaveState.rays): fixed slots + one live-
     # wave count per bounce depth (feeds the live-cap autotune)
-    NCOUNT = 4 + config.max_bounces + 1
+    # counter layout (WaveState.rays): [closest, shadow, pair_overflow,
+    # live_overflow, live-after-bounce-0..MB, want-at-bounce-0..MB]
+    NCOUNT = 4 + 2 * (config.max_bounces + 1)
+    WANT0 = 4 + config.max_bounces + 1  # first want-count slot
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
 
@@ -264,14 +267,15 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             out_specs=state_spec,
         )
 
-    def _trace_body(ds, accel, state: WaveState, *, wave):
+    def _trace_body(ds, accel, state: WaveState, *, wave, live_cap=0):
         """Stage with ONE Pallas call (closest hit) for opaque scenes;
         alpha-cutout scenes re-trace past transparent candidates
         (integrator.make_cutout_closest)."""
         from tpurt.render.integrator import make_cutout_closest
 
         closest, _ = make_intersectors(ds, accel, meta=meta,
-                                       config=config, wave=wave)
+                                       config=config, wave=wave,
+                                       live_cap=live_cap)
         closest = make_cutout_closest(ds, accel, closest, meta=meta)
         inc = jnp.zeros(NCOUNT, jnp.float32).at[0].set(
             jnp.sum(state.alive.astype(jnp.float32))
@@ -282,15 +286,19 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
                 state.org, state.dirn, 0.0, tmax
             )
             inc = inc.at[2].add(tstats[1])
+            if tstats.shape[0] > 2:  # live-cap overflow (tilewave)
+                inc = inc.at[3].add(tstats[2])
         else:
             hit = closest(state.org, state.dirn, 0.0, tmax)
         rays = state.rays + _psum_counts(inc)
         return hit, state._replace(rays=rays)
 
-    def _make_trace(wave):
-        body = functools.partial(_trace_body, wave=wave)
+    def _make_trace(wave, live_cap=0):
+        body = functools.partial(_trace_body, wave=wave,
+                                 live_cap=live_cap)
         if mesh is None:
-            return _cjit(body, f"trace_{wave}")
+            suffix = f"_c{live_cap}" if live_cap else ""
+            return _cjit(body, f"trace_{wave}{suffix}")
         return _smap(
             body,
             in_specs=(P(), P(), state_spec),
@@ -300,9 +308,31 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     # one trace executable per wave kind: camera waves keep the static
     # screen-tile order + small pair budget, bounce waves get the octant
     # sort + large budget (two Mosaic kernel variants; bounces ≥ 1 share
-    # one executable — the bounce index rides in as a device scalar)
+    # one executable — the bounce index rides in as a device scalar).
+    # With measured live caps (config.live_caps, single-chip fused path
+    # only) later bounces get their OWN truncated-shape executables —
+    # the bounce-(b+1) trace runs on the live prefix of its internally
+    # sorted wave (bunny bench: bounce-2 wave is 28% live).
     trace0 = _make_trace("primary")
     traceN = _make_trace("bounce")
+    import os as _osmod
+
+    use_caps = (
+        mesh is None
+        and _osmod.environ.get("TPURT_LIVE_TRUNC", "1") == "1"
+        and hasattr(accel, "cluster_lo")
+    )
+    traceN_by = [traceN] * (config.max_bounces + 1)
+    if use_caps and config.live_caps:
+        by_cap = {0: traceN}
+        for b in range(1, config.max_bounces + 1):
+            cap = (int(config.live_caps[b - 1])
+                   if b - 1 < len(config.live_caps) else 0)
+            if cap <= 0 or cap >= n:
+                cap = 0
+            if cap not in by_cap:
+                by_cap[cap] = _make_trace("bounce", live_cap=cap)
+            traceN_by[b] = by_cap[cap]
 
     def shade_body(ds, accel, pox, state: WaveState, hit, seed, sample0,
                    bounce, presorted=False):
@@ -373,6 +403,15 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             & (bounce < config.max_bounces)
             & (jnp.max(throughput, axis=-1) > 1e-6)
         )
+        rays = state.rays
+        if not presorted:
+            # record the NEXT wave's live count (feeds the live-cap
+            # autotune; the sorted pipeline records its own after
+            # truncation, so presorted skips this)
+            live_inc = jnp.zeros(NCOUNT, jnp.float32).at[
+                4 + bounce.astype(jnp.int32)
+            ].add(jnp.sum(alive.astype(jnp.float32)))
+            rays = rays + _psum_counts(live_inc)
         new = WaveState(
             org=jnp.where(
                 hit_valid[:, None],
@@ -386,7 +425,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             allow_emission=bs.is_specular | (not config.use_nee),
             pix=state.pix,
             ds=state.ds,
-            rays=state.rays,
+            rays=rays,
         )
         return new, shadow
 
@@ -401,8 +440,8 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
                        shadow_spec if config.use_nee else None),
         )
 
-    def occlude_body(ds, accel, state: WaveState, shadow,
-                     presorted=False):
+    def occlude_body(ds, accel, state: WaveState, shadow, bounce,
+                     presorted=False, shadow_cap=0):
         """Stage with ONE Pallas call (shadow/any-hit) for opaque scenes;
         alpha-cutout scenes run make_occluder's bounded closest-trace
         loop (ALPHA_OCCLUSION_ROUNDS traversal calls — the multi-
@@ -410,21 +449,28 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
 
         ``presorted``: trace shadow rays in the CURRENT wave order (the
         sorted-wave pipeline's coherent order) — no forward/restore sort
-        inside the intersector."""
+        inside the intersector. ``shadow_cap``: measured live-wave
+        truncation of the occlusion trace (non-want rays sort to the
+        back; NEE want fractions measured 52/12/6% per bounce on the
+        bunny ladder). ``bounce`` (device scalar) indexes the per-bounce
+        want-count slot that feeds the shadow-cap autotune."""
         from tpurt.render.integrator import make_occluder
 
         closest, any_hit = make_intersectors(
             ds, accel, meta=meta, config=config,
             wave="presorted" if presorted else "bounce",
+            shadow_live_cap=shadow_cap,
         )
         any_hit = make_occluder(ds, accel, closest, any_hit, meta=meta)
         s_org, s_dir, s_tmax, contrib, want = shadow
-        inc = jnp.zeros(NCOUNT, jnp.float32).at[1].set(
-            jnp.sum(want.astype(jnp.float32))
-        )
+        n_want = jnp.sum(want.astype(jnp.float32))
+        inc = jnp.zeros(NCOUNT, jnp.float32).at[1].set(n_want)
+        inc = inc.at[WANT0 + bounce.astype(jnp.int32)].add(n_want)
         if hasattr(any_hit, "with_stats"):
             occluded, tstats = any_hit.with_stats(s_org, s_dir, 0.0, s_tmax)
             inc = inc.at[2].add(tstats[1])
+            if tstats.shape[0] > 2:  # live-cap overflow (tilewave)
+                inc = inc.at[3].add(tstats[2])
         else:
             occluded = any_hit(s_org, s_dir, 0.0, s_tmax)
         rays = state.rays + _psum_counts(inc)
@@ -438,7 +484,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
     else:
         occlude = _smap(
             occlude_body,
-            in_specs=(P(), P(), state_spec, shadow_spec),
+            in_specs=(P(), P(), state_spec, shadow_spec, P()),
             out_specs=state_spec,
         )
 
@@ -503,16 +549,35 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         return _trace_body(ds, accel, state, wave="primary")
 
     def shade_occlude_body(ds, accel, pox, state, hit, seed, sample0,
-                           bounce):
+                           bounce, shadow_cap=0):
         state, shadow = shade_body(ds, accel, pox, state, hit, seed,
                                    sample0, bounce)
         if config.use_nee:
-            state = occlude_body(ds, accel, state, shadow)
+            state = occlude_body(ds, accel, state, shadow, bounce,
+                                 shadow_cap=shadow_cap)
         return state
 
     if mesh is None:
         raygen_trace0 = _cjit(raygen_trace0_body, "raygen_trace0")
         shade_occlude = _cjit(shade_occlude_body, "shade_occlude")
+        # per-bounce shadow-capped fused stages (measured want caps —
+        # same dedupe-by-cap pattern as traceN_by; bounce still rides
+        # as a device scalar so equal caps share one executable)
+        shade_occlude_by = [shade_occlude] * (config.max_bounces + 1)
+        if use_caps and config.shadow_caps and config.use_nee:
+            so_by_cap = {0: shade_occlude}
+            for b in range(config.max_bounces + 1):
+                cap = (int(config.shadow_caps[b])
+                       if b < len(config.shadow_caps) else 0)
+                if cap <= 0 or cap >= n:
+                    cap = 0
+                if cap not in so_by_cap:
+                    so_by_cap[cap] = _cjit(
+                        functools.partial(shade_occlude_body,
+                                          shadow_cap=cap),
+                        f"shade_occlude_c{cap}",
+                    )
+                shade_occlude_by[b] = so_by_cap[cap]
     else:
         raygen_trace0 = _smap(
             raygen_trace0_body,
@@ -526,6 +591,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
                       P(), P()),
             out_specs=state_spec,
         )
+        shade_occlude_by = [shade_occlude] * (config.max_bounces + 1)
 
     # TPURT_FUSE_BOUNCES=1 (default OFF, single-chip only): the WHOLE
     # batch — raygen, every bounce's trace + shade + occlusion, resolve —
@@ -549,7 +615,8 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
                 jnp.uint32(bounce)
             )
             if shadow is not None:
-                state = occlude_body(ds, accel, state, shadow)
+                state = occlude_body(ds, accel, state, shadow,
+                                     jnp.uint32(bounce))
         return _to_raster(pox, *resolve_body(state))
 
     whole_batch = (_cjit(whole_batch_body, "whole_batch")
@@ -627,7 +694,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         state, shadow = shade_body(ds, accel, pox, state, hit, seed,
                                    sample0, bounce, presorted=True)
         if config.use_nee:
-            state = occlude_body(ds, accel, state, shadow,
+            state = occlude_body(ds, accel, state, shadow, bounce,
                                  presorted=True)
         live = jnp.sum(state.alive.astype(jnp.float32))
         state = state._replace(
@@ -799,10 +866,11 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
                     hit, state = raygen_trace0(ds, accel, pox, cam,
                                                seed, sample0)
                 else:
-                    hit, state = traceN(ds, accel, state)
+                    hit, state = traceN_by[bounce](ds, accel, state)
                 _dbg(f"trace[{bounce}]", hit.t)
-                state = shade_occlude(ds, accel, pox, state, hit, seed,
-                                      sample0, jnp.uint32(bounce))
+                state = shade_occlude_by[bounce](
+                    ds, accel, pox, state, hit, seed, sample0,
+                    jnp.uint32(bounce))
                 _dbg(f"shade_occlude[{bounce}]", state.radiance)
             return resolve(pox, state)
         state = raygen(pox, cam, seed, sample0)
@@ -827,7 +895,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
                     _capture(f"shadow{bounce}_wave", org=shadow[0],
                              dirn=shadow[1], tmax=shadow[2],
                              want=shadow[4])
-                state = occlude(ds, accel, state, shadow)
+                state = occlude(ds, accel, state, shadow, b)
                 _dbg(f"occlude[{bounce}]", state.radiance)
         return resolve(pox, state)
 
@@ -883,10 +951,14 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
                 raygen_trace0_body, ds, accel, pox, cam, seed, sample0)
             jobs.append(
                 (raygen_trace0, (ds, accel, pox, cam, seed, sample0)))
-            jobs.append((traceN, (ds, accel, ss)))
-            jobs.append(
-                (shade_occlude, (ds, accel, pox, ss, hs, seed, sample0,
-                                 b0)))
+            # per-bounce capped wrappers dedupe by identity (equal caps
+            # share one executable); capped traces keep full-shape
+            # outputs, so one aval chain serves them all
+            for w in dict.fromkeys(traceN_by[1:]):
+                jobs.append((w, (ds, accel, ss)))
+            for w in dict.fromkeys(shade_occlude_by):
+                jobs.append(
+                    (w, (ds, accel, pox, ss, hs, seed, sample0, b0)))
             jobs.append((resolve, (pox, ss)))
         else:
             ss = jax.eval_shape(raygen_body, pox, cam, seed, sample0)
@@ -901,7 +973,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
             ss2, shadow = jax.eval_shape(
                 shade_body, ds, accel, pox, ss1, hs, seed, sample0, b0)
             if shadow is not None:
-                jobs.append((occlude, (ds, accel, ss2, shadow)))
+                jobs.append((occlude, (ds, accel, ss2, shadow, b0)))
             jobs.append((resolve, (pox, ss2)))
 
         runnable = [(fnw, a) for fnw, a in jobs

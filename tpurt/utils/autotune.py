@@ -85,26 +85,48 @@ def live_caps_for(config) -> tuple:
     )
 
 
+def want_caps_for(config) -> tuple:
+    """Measured NEE want caps (shadow-wave truncation, round 4): entry b
+    caps bounce b's occlusion trace. Empty tuple = no entry."""
+    key = autotune_key(config)
+    entry = _load(_user_table()).get(key) or _load(_repo_table()).get(key)
+    if not entry:
+        return ()
+    want = entry.get("want_per_batch") or []
+    if not want:
+        return ()
+    return tuple(
+        int(-(-v * MARGIN // 1)) for v in want[: config.max_bounces + 1]
+    )
+
+
 def record(config, stats) -> None:
-    """Persist measured per-bounce live counts from an UNCAPPED render's
-    stats into the user cache (call sites gate on
+    """Persist measured per-bounce live/want counts from an UNCAPPED
+    render's stats into the user cache (call sites gate on
     TPURT_AUTOTUNE_WRITE=1)."""
     live = stats.get("live_counts") or []
-    if not live or stats.get("live_overflow"):
+    want = stats.get("want_counts") or []
+    if (not live and not want) or stats.get("live_overflow"):
         return
     batches = max(
         1, -(-int(stats.get("spp", config.spp_per_batch))
              // config.spp_per_batch),
     )
-    per_batch = [v / batches for v in live]
     path = _user_table()
     table = _load(path)
     key = autotune_key(config)
-    prev = table.get(key, {}).get("live_per_batch")
-    if prev:
-        # keep the max ever observed (conservative caps)
-        per_batch = [max(a, b) for a, b in zip(per_batch, prev)]
-    table[key] = {"live_per_batch": per_batch}
+    entry = dict(table.get(key, {}))
+    for field, vals in (("live_per_batch", live),
+                       ("want_per_batch", want)):
+        if not vals:
+            continue
+        per_batch = [v / batches for v in vals]
+        prev = entry.get(field)
+        if prev:
+            # keep the max ever observed (conservative caps)
+            per_batch = [max(a, b) for a, b in zip(per_batch, prev)]
+        entry[field] = per_batch
+    table[key] = entry
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

@@ -80,6 +80,12 @@ class RenderConfig:
     # cap that cuts ALIVE rays trips the live_overflow counter and
     # render_scene re-renders uncapped — never a silent truncation.
     live_caps: tuple = ()
+    # shadow-wave truncation caps (default staged pipeline, round 4):
+    # entry b = max rays kept for bounce b's occlusion trace (the
+    # intersector's internal octant sort puts non-want rays at the
+    # back; NEE want fractions measured 52/12/6% on the bunny ladder).
+    # Same measured-with-margin + loud-overflow contract as live_caps.
+    shadow_caps: tuple = ()
     # BVH tuning
     bvh_leaf_size: int = 4
     # runtime ray reordering before packetization: "none" (megakernel
