@@ -161,7 +161,9 @@ def test_render_scene_budget_auto_retry():
         base, pairs_avg=2, pairs_avg_bounce=2, pairs_avg_shadow=2
     )
     st_tiny, stats_tiny = render_scene(tiny, scene=scene)
-    if os.environ.get("TPURT_ENTRY_ROWS", "1") == "1":
+    # entry rows default to "auto" = ON for narrow cluster tables like
+    # this standin (tilewave._entry_rows_enabled)
+    if os.environ.get("TPURT_ENTRY_ROWS", "auto") != "0":
         # dense entry rows have no global pair capacity: tiny pcap
         # budgets CANNOT overflow, so no retry ever happens and the
         # image is right the first time

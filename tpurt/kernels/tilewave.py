@@ -1446,6 +1446,22 @@ TILES_PER_LAUNCH = 256
 # benchmarks/probe_entry_rows.py); grouping also amortizes the DMA.
 ENTRY_GROUP = 8
 
+# Dense entry rows cost O(n_clusters) per TILE (the (T, Cp) build/sort
+# and the per-group SMEM entry DMA) regardless of how many pairs are
+# live, so they only pay when the cluster table is narrow. Hardware A/B
+# (round 4): bunny (C=854) 9.62 vs 9.37 Mrays/s — entry rows win;
+# sponza (C≈2400, two-level) QUICK 2.82 vs 7.05 — entry rows lose 2.5×.
+# "auto" (default) enables them at C ≤ ENTRY_ROWS_MAX_CLUSTERS;
+# TPURT_ENTRY_ROWS=1/0 forces either path.
+ENTRY_ROWS_MAX_CLUSTERS = 1024
+
+
+def _entry_rows_enabled(n_clusters: int) -> bool:
+    v = _os.environ.get("TPURT_ENTRY_ROWS", "auto")
+    if v == "auto":
+        return n_clusters <= ENTRY_ROWS_MAX_CLUSTERS
+    return v == "1"
+
 
 def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
                       n_clusters, pcap, per_tile_clamp, interpret,
@@ -1502,11 +1518,7 @@ def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
     else:
         mask, tn_lower = _tile_mask(org, dirn, t_max_vec, lo, hi,
                                     n_tiles, return_tn=True)
-    # default ON since round 4 (hardware A/B 2026-08-20: bunny 9.62 vs
-    # 9.37 Mrays/s, benchmarks/ab_results.jsonl `entry_rows`) — and the
-    # global pair budgets/overflow retries structurally cannot trigger;
-    # "0" reverts to the packed-SMEM pair-list path (budgeted)
-    if _os.environ.get("TPURT_ENTRY_ROWS", "1") == "1":
+    if _entry_rows_enabled(n_clusters):
         # Dense entry-row plumbing (round 3): ONE single-operand
         # lane-axis lax.sort orders each tile's (tn_q << 16 | cluster)
         # entries front-to-back with INT32_MAX (no hit) at the back —
@@ -1843,7 +1855,7 @@ def make_tile_intersector(ds, accel: PairAccel, *,
         )
         eff_avg = pairs_avg if avg_over is None else avg_over
         avg = clamp if eff_avg <= 0 else min(eff_avg, clamp)
-        entry_rows_on = _os.environ.get("TPURT_ENTRY_ROWS", "1") == "1"
+        entry_rows_on = _entry_rows_enabled(n_clusters)
         if use_loop and entry_rows_on:
             # entry-row mode has no SMEM pair list, so the SMEM-capacity
             # launch chunking is pointless — and actively harmful: each
