@@ -1448,19 +1448,30 @@ ENTRY_GROUP = 8
 
 # Dense entry rows cost O(n_clusters) per TILE (the (T, Cp) build/sort
 # and the per-group SMEM entry DMA) regardless of how many pairs are
-# live, so they only pay when the cluster table is narrow. Hardware A/B
-# (round 4): bunny (C=854) 9.62 vs 9.37 Mrays/s — entry rows win;
-# sponza (C≈2400, two-level) QUICK 2.82 vs 7.05 — entry rows lose 2.5×.
-# "auto" (default) enables them at C ≤ ENTRY_ROWS_MAX_CLUSTERS;
-# TPURT_ENTRY_ROWS=1/0 forces either path.
-ENTRY_ROWS_MAX_CLUSTERS = 1024
+# live. Hardware A/Bs (round 4, honest baselines): bunny (C=854) 9.62
+# vs 9.37 Mrays/s — win; sponza (C≈2400, two-level) QUICK 2.82 vs 2.80
+# — wash, while the entry-row single-launch compiles 3–6× faster than
+# the budget path's chunked pallas sites. (An earlier "entry rows lose
+# 2.5× on sponza" reading compared against the pre-budget-correction
+# inflated 7.05 row — worktree re-runs of the r2/r3 tips measured
+# 1.90/1.84 on the same config, see ab_results `sponza_honest_base`.)
+# "auto" (default) enables entry rows whenever the dense (T, Cp) i32
+# entries operand fits the kernel's VMEM budget — the only hard
+# constraint; TPURT_ENTRY_ROWS=1/0 forces either path. Waves too large
+# for a single launch still use entry rows per 256-tile launch chunk
+# (4.3 MB at C=4096) via the budget path's chunking.
+ENTRY_ROWS_MAX_CLUSTERS = 4096
+ENTRY_VMEM_BYTES = 48 * 1024 * 1024
 
 
-def _entry_rows_enabled(n_clusters: int) -> bool:
+def _entry_rows_enabled(n_clusters: int, n_tiles: int = 0) -> bool:
     v = _os.environ.get("TPURT_ENTRY_ROWS", "auto")
-    if v == "auto":
-        return n_clusters <= ENTRY_ROWS_MAX_CLUSTERS
-    return v == "1"
+    if v != "auto":
+        return v == "1"
+    if n_clusters > ENTRY_ROWS_MAX_CLUSTERS:
+        return False
+    cp = ((n_clusters + 127) // 128) * 128
+    return (n_tiles + ENTRY_GROUP) * cp * 4 <= ENTRY_VMEM_BYTES
 
 
 def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
@@ -1518,7 +1529,7 @@ def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
     else:
         mask, tn_lower = _tile_mask(org, dirn, t_max_vec, lo, hi,
                                     n_tiles, return_tn=True)
-    if _entry_rows_enabled(n_clusters):
+    if _entry_rows_enabled(n_clusters, n_tiles):
         # Dense entry-row plumbing (round 3): ONE single-operand
         # lane-axis lax.sort orders each tile's (tn_q << 16 | cluster)
         # entries front-to-back with INT32_MAX (no hit) at the back —
@@ -1855,7 +1866,7 @@ def make_tile_intersector(ds, accel: PairAccel, *,
         )
         eff_avg = pairs_avg if avg_over is None else avg_over
         avg = clamp if eff_avg <= 0 else min(eff_avg, clamp)
-        entry_rows_on = _entry_rows_enabled(n_clusters)
+        entry_rows_on = _entry_rows_enabled(n_clusters, n_tiles)
         if use_loop and entry_rows_on:
             # entry-row mode has no SMEM pair list, so the SMEM-capacity
             # launch chunking is pointless — and actively harmful: each
