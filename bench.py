@@ -55,6 +55,15 @@ def child_main(args) -> int:
     warm_s = time.perf_counter() - t0
 
     state, stats = render_scene(config)
+    # Timing-anomaly guard: on this tunneled backend block_until_ready
+    # occasionally returns before queued dispatches execute right after
+    # a heavy compile session (PARITY.md law 5) — one cold bench
+    # measured an impossible 862 Mrays/s (elapsed 0.013 s for a 10.9
+    # M-ray batch). Measure a second fresh accumulation and report the
+    # SLOWER run: a lying clock can only undercount time.
+    state2, stats2 = render_scene(config)
+    if stats2["elapsed_s"] > stats["elapsed_s"]:
+        state, stats = state2, stats2
     mrays = stats["mrays_per_s"]
     platform = jax.devices()[0].platform
     device = str(jax.devices()[0])
