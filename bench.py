@@ -54,6 +54,16 @@ def child_main(args) -> int:
     render_scene(warm, readback_stats=False)
     warm_s = time.perf_counter() - t0
 
+    # warmup accounting (VERDICT r4 weak #4): split the wall into
+    # remote-Mosaic compile time vs AOT-cache disk loads vs "other"
+    # (first-batch execution + axon tunnel stalls — PARITY.md round-4
+    # notes document multi-minute stall windows as residual variance)
+    from tpurt.utils import aotcache
+
+    tm = aotcache.timers()
+    warm_compile_s = tm["compile_s"]
+    warm_load_s = tm["load_s"]
+
     state, stats = render_scene(config)
     # Timing-anomaly guard: on this tunneled backend block_until_ready
     # occasionally returns before queued dispatches execute right after
@@ -76,12 +86,29 @@ def child_main(args) -> int:
     LANE_OPS_PER_RAY = 20e3  # bunny-measured; order-of-magnitude for others
     VPU_LANE_OPS = 3.9e12
     vpu_util = mrays * 1e6 * LANE_OPS_PER_RAY / VPU_LANE_OPS
+    # v5e→v5p hardware-class translation (VERDICT r4 missing #5): the
+    # 150 Mrays/s target is stated for v5p, this box is a v5e. The
+    # workload's compute currency is f32 VPU lane-ops (BASELINE.md
+    # roofline: MXU formulations run at ≤ 7% utilization), so the class
+    # ratio is VPU lane-op throughput = lanes × ALUs × clock. Both chips
+    # have 8×128-lane VPUs with 4 ALUs (public specs); clocks 0.94 GHz
+    # (v5e) vs 1.75 GHz (v5p) → ratio 1.86×. (HBM is 0.8 vs 2.8 TB/s =
+    # 3.5×, but the measured kernels are VPU-issue-bound, not BW-bound —
+    # PARITY.md law 4 — so the conservative VPU ratio is the projection
+    # basis.) projected_v5p separates hardware class from implementation
+    # gap: vs_baseline_v5p = projected_v5p / 150 is the implementation
+    # gap alone.
+    V5P_OVER_V5E_VPU = 1.75 / 0.94  # ≈ 1.86
+    proj = mrays * (V5P_OVER_V5E_VPU if platform != "cpu" else 1.0)
+    warm_other_s = max(warm_s - warm_compile_s - warm_load_s, 0.0)
     result = {
         "metric": f"Mrays/sec/chip ({args.scene})",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 150.0, 4),
         "mfu": round(vpu_util, 4),
+        "projected_v5p": round(proj, 3),
+        "vs_baseline_v5p": round(proj / 150.0, 4),
         "detail": {
             "scene": args.scene,
             "resolution": f"{args.width}x{args.height}",
@@ -89,6 +116,9 @@ def child_main(args) -> int:
             "rays_traced": stats["rays_traced"],
             "elapsed_s": round(stats["elapsed_s"], 3),
             "warmup_s": round(warm_s, 3),
+            "warmup_compile_s": round(warm_compile_s, 3),
+            "warmup_cacheload_s": round(warm_load_s, 3),
+            "warmup_other_s": round(warm_other_s, 3),
             "device": device,
             "platform": platform,
         },

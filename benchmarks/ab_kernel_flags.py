@@ -50,17 +50,22 @@ VARIANTS = {
     # round-3 headline-config variants (8 spp/batch = the bench default)
     "entry_rows": (
         {"TPURT_ENTRY_ROWS": "1"}, ["--spp-per-batch", "8"]),
+    # round-5 supercluster A/B: "auto" default means the plain bench now
+    # runs WITH superclusters — "nosc" is the explicit control
+    "sc": ({"TPURT_SUPERCLUSTER": "auto"}, ["--spp-per-batch", "8"]),
+    "nosc": ({"TPURT_SUPERCLUSTER": "0"}, ["--spp-per-batch", "8"]),
 }
 # "base8" is the same config as "batch8" (advisor r3); keep the alias so
 # old result rows stay interpretable, but share the definition.
 VARIANTS["base8"] = VARIANTS["batch8"]
 
 
-def run_variant(name, retries=2, timeout=3600):
+def run_variant(name, retries=2, timeout=3600, scene_args=None):
     env_over, extra = VARIANTS[name]
-    cmd = [sys.executable, os.path.join(ROOT, "bench.py"), "--_child",
-           "--scene", "bunny", "--width", "800", "--height", "600",
-           "--spp", "8", "--spp-per-batch", "2", "--max-bounces", "2"]
+    cmd = [sys.executable, os.path.join(ROOT, "bench.py"), "--_child"]
+    cmd += scene_args or ["--scene", "bunny", "--width", "800",
+                          "--height", "600", "--spp", "8",
+                          "--spp-per-batch", "2", "--max-bounces", "2"]
     # extra args override the defaults above (argparse keeps the last)
     cmd += extra
     env = dict(os.environ, **env_over)
@@ -92,7 +97,21 @@ def main():
                     help="run probe_vpu_ops.py first")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "ab_results.jsonl"))
+    ap.add_argument("--scene", default=None,
+                    help="bench scene override (e.g. sponza)")
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--spp", type=int, default=None)
     args = ap.parse_args()
+    scene_args = None
+    if args.scene:
+        scene_args = ["--scene", args.scene]
+        if args.width:
+            scene_args += ["--width", str(args.width)]
+        if args.height:
+            scene_args += ["--height", str(args.height)]
+        if args.spp:
+            scene_args += ["--spp", str(args.spp)]
 
     if args.probe:
         r = subprocess.run(
@@ -110,7 +129,7 @@ def main():
         if name not in VARIANTS:
             print(f"# unknown variant {name}; known: {list(VARIANTS)}")
             continue
-        rec = run_variant(name)
+        rec = run_variant(name, scene_args=scene_args)
         rec["ts"] = time.strftime("%Y-%m-%d %H:%M")
         rows.append(rec)
         print(json.dumps(rec), flush=True)

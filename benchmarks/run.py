@@ -61,6 +61,33 @@ def child_main(args) -> int:
     t0 = time.perf_counter()
     state, stats = render_scene(config)
     wall = time.perf_counter() - t0
+    # Hardware-accuracy RMSE (VERDICT r4 weak #3): re-render this
+    # scene's GOLDEN fixture config on the SAME device and compare to
+    # the committed golden. Runs after the timed row (the D2H poison
+    # has already happened; accuracy doesn't care about dispatch
+    # latency). --quick skips it (the gate run stays fast).
+    rmse_val = None
+    if not args.skip_rmse:
+        try:
+            import numpy as np
+
+            from tests.golden.configs import GOLDENS
+            from tpurt.render import framebuffer as fb
+
+            gpath = os.path.join(
+                os.path.dirname(__file__), "..", "tests", "golden",
+                "data", f"{args.config}.npz",
+            )
+            if args.config in GOLDENS and os.path.exists(gpath):
+                golden = np.load(gpath)["image"]
+                gconfig = get_config(args.config, **GOLDENS[args.config])
+                gstate, _ = render_scene(gconfig)
+                img = np.asarray(fb.resolve(gstate), np.float32)
+                rmse_val = round(
+                    float(np.sqrt(np.mean((img - golden) ** 2))), 8
+                )
+        except Exception as e:  # report, never fail the ladder row
+            rmse_val = f"error: {e!r}"[:160]
     rec = {
         "config": args.config,
         "resolution": f"{config.width}x{config.height}",
@@ -72,6 +99,7 @@ def child_main(args) -> int:
         "pair_overflow": stats.get("pair_overflow", False),
         "budget_retries": stats.get("budget_retries", 0),
         "rays": int(stats["rays_traced"]),
+        "rmse_vs_golden": rmse_val,
         "device": device,
         "ts": time.strftime("%Y-%m-%d %H:%M"),
     }
@@ -120,6 +148,8 @@ def main():
     ap.add_argument("--retries", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "results.jsonl"))
+    ap.add_argument("--skip-rmse", action="store_true", dest="skip_rmse",
+                    help="skip the golden-config RMSE re-render")
     # child mode (one config per process)
     ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--config", default=None, help=argparse.SUPPRESS)
@@ -127,6 +157,8 @@ def main():
     args = ap.parse_args()
     if args._child:
         sys.exit(child_main(args))
+    if args.quick:
+        args.skip_rmse = True
 
     want = set(args.configs.split(",")) if args.configs else None
     rows = []
@@ -141,6 +173,8 @@ def main():
                "--overrides", json.dumps(overrides)]
         if args.cpu:
             cmd.append("--cpu")
+        if args.skip_rmse:
+            cmd.append("--skip-rmse")
         rec = None
         for attempt in range(args.retries):
             r = subprocess.run(cmd, capture_output=True, text=True,
@@ -205,12 +239,13 @@ def main():
         f.write(f"Device: {rows[0]['device'] if rows else '?'} — one fresh "
                 "subprocess per config (axon D2H-poison law)\n\n")
         f.write("| config | resolution | spp | Mrays/s | frame s | "
-                "warmup s | overflow |\n")
-        f.write("|---|---|---|---|---|---|---|\n")
+                "warmup s | RMSE vs golden (this device) | overflow |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             f.write(
                 f"| {r['config']} | {r['resolution']} | {r['spp']} | "
                 f"{r['mrays_per_s']} | {r['frame_s']} | {r['warmup_s']} | "
+                f"{r.get('rmse_vs_golden', '—')} | "
                 f"{'RETRY x' + str(r['budget_retries']) if r['budget_retries'] else 'ok'} |\n"
             )
     print(f"table → {md}")

@@ -28,22 +28,10 @@ from tpurt.utils.config import get_config  # noqa: E402
 
 DATA = os.path.join(os.path.dirname(__file__), "data")
 
-# (name, config overrides) — the fixture ladder, smallest first (B:7–11);
-# resolutions shrunk so the suite stays CPU-fast and the repo small.
-GOLDENS = {
-    "hello_triangle": dict(width=80, height=60, spp=1, spp_per_batch=1),
-    "cornell": dict(width=64, height=64, spp=8, spp_per_batch=4,
-                    max_bounces=0),
-    "cornell_pt": dict(width=48, height=48, spp=8, spp_per_batch=4,
-                       max_bounces=4),
-    # configs 3 and 5 at FULL geometry scale (82k-tri bunny stand-in,
-    # 230k-instanced-tri sponza stand-in) — resolution shrunk for CPU
-    # runtime, geometry is the ladder's (BASELINE.json:9,11)
-    "bunny": dict(width=64, height=48, spp=2, spp_per_batch=2,
-                  max_bounces=2),
-    "sponza": dict(width=80, height=45, spp=2, spp_per_batch=2,
-                   max_bounces=2),
-}
+# configs live in tests/golden/configs.py (side-effect-free: also
+# imported by benchmarks/run.py inside a TPU process, which must not
+# trip this module's jax_platforms=cpu update)
+from tests.golden.configs import GOLDENS  # noqa: E402
 
 
 def render_golden(name: str) -> np.ndarray:

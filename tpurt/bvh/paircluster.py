@@ -47,6 +47,41 @@ TRIS_PER_CLUSTER = 96
 ROWS_PER_CLUSTER = TRIS_PER_CLUSTER // TPR
 BIG = np.float32(3.4e38)
 
+# Hierarchical SUPERCLUSTER level (round 5, VERDICT r4 next #2): groups
+# of SC_SIZE consecutive clusters under one parent AABB. The exact tile
+# mask + entry build/sort then run at supercluster granularity (flops
+# and the (T, Cp) entry sort both scale with the box count — ~8× less),
+# and the traversal kernel expands each surviving supercluster with the
+# in-kernel exact per-child box pre-test (~26 ops/child, best-t
+# far-limited) before any row work. Children are CONSECUTIVE clusters in
+# the final cluster order (Morton-of-centroid adjacency keeps parents
+# tight), so one 64-row DMA fetches a whole supercluster.
+SC_SIZE = 8
+# the kernel always DMAs SC_SIZE clusters of rows from the first
+# child's base — pad tri_rows so the last supercluster can't overrun
+SC_PAD_ROWS = (SC_SIZE - 1) * ROWS_PER_CLUSTER
+
+
+def _supercluster_groups(lo: np.ndarray, hi: np.ndarray,
+                         base0: int = 0):
+    """Group consecutive clusters into superclusters of SC_SIZE.
+
+    Returns (sc_lo, sc_hi, sc_meta) where sc_meta packs
+    ``first_child_cluster | n_children << 16`` (cluster ids < 2^16,
+    enforced by the kernel's entry encoding)."""
+    n_c = lo.shape[0]
+    sc_lo, sc_hi, sc_meta = [], [], []
+    for b in range(0, n_c, SC_SIZE):
+        e = min(b + SC_SIZE, n_c)
+        sc_lo.append(lo[b:e].min(0))
+        sc_hi.append(hi[b:e].max(0))
+        sc_meta.append((base0 + b) | ((e - b) << 16))
+    return (
+        np.asarray(sc_lo, np.float32),
+        np.asarray(sc_hi, np.float32),
+        np.asarray(sc_meta, np.int32),
+    )
+
 
 SHADE_LANES = 32  # record stride (one (n_slots, 32) row per slot)
 # record layout (lane offsets within the 32-lane record):
@@ -84,6 +119,11 @@ class PairAccel(NamedTuple):
     prim_tri: np.ndarray
     prim_inst: np.ndarray
     shade_rows: np.ndarray
+    # supercluster level (see SC_SIZE): parent AABBs over SC_SIZE
+    # consecutive clusters + packed (first_child | n_children << 16)
+    sc_lo: np.ndarray | None = None
+    sc_hi: np.ndarray | None = None
+    sc_meta: np.ndarray | None = None
 
     @property
     def n_clusters(self) -> int:
@@ -454,6 +494,11 @@ class PairAccelTL(NamedTuple):
     prim_inst: np.ndarray
     shade_rows: np.ndarray
     inst_table: np.ndarray
+    # supercluster level (never spans an instance: children share one
+    # world→object transform and contiguous BLAS rows — see SC_SIZE)
+    sc_lo: np.ndarray | None = None
+    sc_hi: np.ndarray | None = None
+    sc_meta: np.ndarray | None = None
 
     @property
     def n_clusters(self) -> int:
@@ -527,6 +572,8 @@ def build_pair_accel_two_level(ds: DeviceScene, meta: SceneMeta,
 
     # --- per-instance cluster entries (the TLAS leaves)
     ic_lo, ic_hi, ic_meta, ic_xf = [], [], [], []
+    sc_lo_l, sc_hi_l, sc_meta_l = [], [], []
+    ic_base = 0  # running global instance-cluster index
     for inst_id, mesh_id in enumerate(meta.inst_mesh):
         boxes = mesh_cluster_boxes[mesh_id]
         if boxes.shape[0] == 0:
@@ -559,10 +606,25 @@ def build_pair_accel_two_level(ds: DeviceScene, meta: SceneMeta,
             [ainv, (-ainv @ t)[:, None]], axis=1
         ).astype(np.float32)  # world→object 3×4
         ic_xf.append(np.tile(xf.reshape(1, 12), (n_c, 1)))
+        # superclusters per INSTANCE (never spanning one): children are
+        # consecutive instance-clusters of this instance, whose shared
+        # BLAS rows are contiguous (base_rows is an arithmetic sequence)
+        # and whose world→object transform is identical
+        s_lo, s_hi, s_meta = _supercluster_groups(
+            ic_lo[-1].astype(np.float32), ic_hi[-1].astype(np.float32),
+            base0=ic_base,
+        )
+        sc_lo_l.append(s_lo)
+        sc_hi_l.append(s_hi)
+        sc_meta_l.append(s_meta)
+        ic_base += n_c
     cluster_lo = np.concatenate(ic_lo).astype(np.float32)
     cluster_hi = np.concatenate(ic_hi).astype(np.float32)
     pair_meta = np.concatenate(ic_meta)
     inv_xform = np.concatenate(ic_xf)
+    sc_lo = np.concatenate(sc_lo_l).astype(np.float32)
+    sc_hi = np.concatenate(sc_hi_l).astype(np.float32)
+    sc_meta = np.concatenate(sc_meta_l)
 
     # --- object-space shade records per mesh slot
     gt = np.clip(prim_tri, 0, max(tmat.shape[0] - 1, 0))
@@ -609,13 +671,19 @@ def build_pair_accel_two_level(ds: DeviceScene, meta: SceneMeta,
     return PairAccelTL(
         cluster_lo=cluster_lo,
         cluster_hi=cluster_hi,
-        tri_rows=tri_rows,
+        # 64-row supercluster DMA overrun pad (see build_pair_accel)
+        tri_rows=np.concatenate(
+            [tri_rows, np.zeros((SC_PAD_ROWS, 128), np.float32)]
+        ),
         pair_meta=pair_meta,
         inv_xform=inv_xform,
         prim_tri=prim_tri,
         prim_inst=np.full(n_slots, -1, np.int32),
         shade_rows=shade_rows,
         inst_table=it,
+        sc_lo=sc_lo,
+        sc_hi=sc_hi,
+        sc_meta=sc_meta,
     )
 
 
@@ -651,11 +719,23 @@ def build_pair_accel(ds: DeviceScene, meta: SceneMeta,
     shade_rows = build_shade_rows(
         ds, meta, v0, v1, v2, tri_id, inst_id, n_slots=t, scene=scene
     )
+    lo32 = lo.astype(np.float32)
+    hi32 = hi.astype(np.float32)
+    sc_lo, sc_hi, sc_meta = _supercluster_groups(lo32, hi32)
+    # pad rows so the kernel's fixed 64-row supercluster DMA can't
+    # overrun on a short last group (zero rows: det=0 ⇒ MT miss, and the
+    # kernel's n_children guard never tests them anyway)
+    tri_rows = np.concatenate(
+        [tri_rows, np.zeros((SC_PAD_ROWS, 128), np.float32)]
+    )
     return PairAccel(
-        cluster_lo=lo.astype(np.float32),
-        cluster_hi=hi.astype(np.float32),
+        cluster_lo=lo32,
+        cluster_hi=hi32,
         tri_rows=tri_rows,
         prim_tri=tri_id,
         prim_inst=inst_id,
         shade_rows=shade_rows,
+        sc_lo=sc_lo,
+        sc_hi=sc_hi,
+        sc_meta=sc_meta,
     )

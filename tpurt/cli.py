@@ -214,6 +214,14 @@ def cmd_info(args) -> int:
     from tpurt.utils.config import PRESETS
 
     print("presets:", ", ".join(sorted(PRESETS)))
+    from tpurt.utils import aotcache
+
+    s = aotcache.stats()
+    print(
+        f"aot cache: {s['entries']} entries, "
+        f"{s['bytes'] / (1 << 30):.2f} GiB "
+        f"(cap {s['max_bytes'] / (1 << 30):.0f} GiB) at {s['dir']}"
+    )
     return 0
 
 

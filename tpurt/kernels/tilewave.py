@@ -45,7 +45,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpurt.bvh.paircluster import INST_SHIFT, ROWS_PER_CLUSTER, PairAccel
+from tpurt.bvh.paircluster import (
+    INST_SHIFT,
+    ROWS_PER_CLUSTER,
+    SC_SIZE as _SC_SIZE,
+    PairAccel,
+)
 from tpurt.kernels.packet import BIG, EPS_DENOM, _ray_sort_keys, \
     _use_interpret
 from tpurt.render.intersectors import Hit
@@ -1042,6 +1047,7 @@ def _tileloop_kernel(
     lean_any: bool = False,
     unroll: int = 2,
     entry_rows: bool = False,
+    sc_mode: bool = False,
 ):
     """Grid-over-TILES pair-loop kernel (round-2 production traversal).
 
@@ -1088,10 +1094,21 @@ def _tileloop_kernel(
         # tiles; the loop bound is the tile's live count. Removes the
         # global expansion sort, the SMEM pair capacity (and with it
         # budget overflow/retries and MAX_PAIRS_PER_LAUNCH splitting).
-        if two_level:
+        # ``sc_mode`` (round 5): entries are SUPERCLUSTER ids — scm_ref
+        # maps each to (first_child_cluster | n_children << 16); the
+        # body expands children with the exact per-child box pre-test.
+        if two_level and sc_mode:
+            (cnt_ref, fl_ref, sc_ref, scm_ref, pm_ref, xf_ref, tri_ref,
+             ent_ref, ray_ref, out_ref) = refs[:10]
+            scratch = refs[10:]
+        elif two_level:
             (cnt_ref, fl_ref, sc_ref, pm_ref, xf_ref, tri_ref,
              ent_ref, ray_ref, out_ref) = refs[:9]
             scratch = refs[9:]
+        elif sc_mode:
+            (cnt_ref, fl_ref, sc_ref, scm_ref, tri_ref, ent_ref,
+             ray_ref, out_ref) = refs[:8]
+            scratch = refs[8:]
         else:
             (cnt_ref, fl_ref, sc_ref, tri_ref, ent_ref, ray_ref,
              out_ref) = refs[:7]
@@ -1202,12 +1219,26 @@ def _tileloop_kernel(
     if smem_tri:
         sm_ref, sems = scratch[0], scratch[1]
 
-        def cluster_dma(sl, cid):
-            return pltpu.make_async_copy(
-                tri_ref.at[pl.ds(row_base(cid), ROWS_PER_CLUSTER), :],
-                sm_ref.at[sl],
-                sems.at[sl],
-            )
+        if sc_mode:
+            # supercluster DMA: ALL SC_SIZE children's rows in one copy
+            # (children are consecutive clusters ⇒ contiguous rows; the
+            # build pads tri_rows so a short last group can't overrun)
+            def cluster_dma(sl, sid):
+                first = scm_ref[sid] & 0xFFFF
+                return pltpu.make_async_copy(
+                    tri_ref.at[
+                        pl.ds(row_base(first),
+                              _SC_SIZE * ROWS_PER_CLUSTER), :],
+                    sm_ref.at[sl],
+                    sems.at[sl],
+                )
+        else:
+            def cluster_dma(sl, cid):
+                return pltpu.make_async_copy(
+                    tri_ref.at[pl.ds(row_base(cid), ROWS_PER_CLUSTER), :],
+                    sm_ref.at[sl],
+                    sems.at[sl],
+                )
 
         # bootstrap the double buffer: pair s starts its own copy; pair
         # p starts p+1's during its compute; every started copy is waited
@@ -1216,6 +1247,128 @@ def _tileloop_kernel(
         @pl.when(e > s)
         def _():
             cluster_dma(jax.lax.rem(s, 2), read_entry(s) & 0xFFFF).start()
+
+    def _smem_cluster_body(slot, row0, rays, inst_f):
+        """One cluster's SMEM work at row offset ``row0``: the exact
+        per-cluster box pre-test (the cluster's own AABB rides in spare
+        lanes 126–127 of its first three rows —
+        paircluster._pack_cluster_box_lanes; one ~26-op slab test,
+        best-t far-limited, decides whether ANY lane can still reach the
+        cluster — on divergent waves over half the conservatively-
+        matched pairs die here), then the 8 far-limited row tests.
+        Shared by the per-cluster pair body (row0 = 0) and the
+        supercluster child expansion (row0 = k·ROWS_PER_CLUSTER)."""
+        (ox, oy, oz, dx, dy, dz, ivx, ivy, ivz) = rays
+        bt0 = out_ref[0:SUB, :]
+        clox = sm_ref[slot, row0 + 0, 126]
+        cloy = sm_ref[slot, row0 + 0, 127]
+        cloz = sm_ref[slot, row0 + 1, 126]
+        chix = sm_ref[slot, row0 + 1, 127]
+        chiy = sm_ref[slot, row0 + 2, 126]
+        chiz = sm_ref[slot, row0 + 2, 127]
+        t0x = (clox - ox) * ivx
+        t1x = (chix - ox) * ivx
+        t0y = (cloy - oy) * ivy
+        t1y = (chiy - oy) * ivy
+        t0z = (cloz - oz) * ivz
+        t1z = (chiz - oz) * ivz
+        ctn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x),
+                        jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+        )
+        ctf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x),
+                        jnp.maximum(t0y, t1y)),
+            jnp.minimum(jnp.maximum(t0z, t1z), bt0),
+        )
+
+        @pl.when(jnp.any(ctn <= ctf))
+        def _():
+            for r in range(ROWS_PER_CLUSTER):
+                bt_r = out_ref[0:SUB, :]
+                tn, tf = _row_box_interval(
+                    sm_ref, slot, row0 + r, ox, oy, oz, ivx, ivy, ivz,
+                    bt_r
+                )
+
+                if lean_any:
+
+                    @pl.when(jnp.any(tn <= tf))
+                    def _(r=r, bt_r=bt_r):
+                        occ = _row_occluded_smem(
+                            sm_ref, slot, row0 + r, ox, oy, oz,
+                            dx, dy, dz, bt_r
+                        )
+                        out_ref[0:SUB, :] = jnp.where(
+                            occ, -1.0, bt_r)
+                        out_ref[3 * SUB:4 * SUB, :] = jnp.where(
+                            occ, 0.0,
+                            out_ref[3 * SUB:4 * SUB, :])
+
+                    continue
+
+                @pl.when(jnp.any(tn <= tf))
+                def _(r=r):
+                    cand = []
+                    _row_candidates_smem(
+                        sm_ref, slot, row0 + r, ox, oy, oz, dx, dy, dz,
+                        cand
+                    )
+                    tr, ur, vr, sr = _fold_candidates(cand)
+                    bt = out_ref[0:SUB, :]
+                    win = tr < bt
+                    out_ref[0:SUB, :] = jnp.where(win, tr, bt)
+                    out_ref[SUB:2 * SUB, :] = jnp.where(
+                        win, ur, out_ref[SUB:2 * SUB, :])
+                    out_ref[2 * SUB:3 * SUB, :] = jnp.where(
+                        win, vr, out_ref[2 * SUB:3 * SUB, :])
+                    out_ref[3 * SUB:4 * SUB, :] = jnp.where(
+                        win, sr, out_ref[3 * SUB:4 * SUB, :])
+                    if two_level:
+                        out_ref[4 * SUB:5 * SUB, :] = jnp.where(
+                            win, inst_f,
+                            out_ref[4 * SUB:5 * SUB, :])
+
+    def _fori_cluster_body(c, rays, inst_f):
+        """interpret/no-SMEM flavor of one cluster: compact fori over
+        rows with vector lane extracts (CPU tests keep small jaxprs)."""
+        (ox, oy, oz, dx, dy, dz, ivx, ivy, ivz) = rays
+        base = row_base(jnp.maximum(c, 0))
+
+        def rbody(r, cr):
+            row = tri_ref[pl.ds(base + r, 1), :]
+            out = []
+            _row_candidates(row, ox, oy, oz, dx, dy, dz, out)
+            return _fold_candidates(out + [cr])
+
+        init = (jnp.full((SUB, 128), BIG, jnp.float32),
+                jnp.zeros((SUB, 128), jnp.float32),
+                jnp.zeros((SUB, 128), jnp.float32),
+                jnp.full((SUB, 128), -1.0, jnp.float32))
+        tm_c, um, vm, sm = jax.lax.fori_loop(
+            0, ROWS_PER_CLUSTER, rbody, init
+        )
+        bt = out_ref[0:SUB, :]
+        if lean_any:
+            # occlusion semantics only: any candidate inside the
+            # live window occludes the lane (retire via bt = −1)
+            occ = tm_c < bt
+            out_ref[0:SUB, :] = jnp.where(occ, -1.0, bt)
+            out_ref[3 * SUB:4 * SUB, :] = jnp.where(
+                occ, 0.0, out_ref[3 * SUB:4 * SUB, :])
+            return
+        win = tm_c < bt
+        out_ref[0:SUB, :] = jnp.where(win, tm_c, bt)
+        out_ref[SUB:2 * SUB, :] = jnp.where(
+            win, um, out_ref[SUB:2 * SUB, :])
+        out_ref[2 * SUB:3 * SUB, :] = jnp.where(
+            win, vm, out_ref[2 * SUB:3 * SUB, :])
+        out_ref[3 * SUB:4 * SUB, :] = jnp.where(
+            win, sm, out_ref[3 * SUB:4 * SUB, :])
+        if two_level:
+            out_ref[4 * SUB:5 * SUB, :] = jnp.where(
+                win, inst_f, out_ref[4 * SUB:5 * SUB, :])
 
     def pair_body(p):
         v = read_entry(p)
@@ -1233,6 +1386,8 @@ def _tileloop_kernel(
         # skipped row tests): any-hit all-occluded (runtime flag), and
         # the front-to-back far break — every lane already beats this
         # pair's entry-distance lower bound (see kernel docstring).
+        # In sc_mode the bound is the SUPERBOX entry distance, a valid
+        # lower bound for every child (superbox ⊇ child box).
         deq = (v >> 16).astype(jnp.float32) * sc_ref[0]
         done = jnp.all(out_ref[0:SUB, :] < deq)
         if not lean_any:
@@ -1243,126 +1398,39 @@ def _tileloop_kernel(
 
         @pl.when(~done)
         def _():
-            (ox, oy, oz, dx, dy, dz, ivx, ivy, ivz) = _pair_rays(c)
-            if two_level and not lean_any:
-                inst_f = (pm_ref[jnp.maximum(c, 0)]
-                          >> INST_SHIFT).astype(jnp.float32)
-            if smem_tri:
-                # Per-pair EXACT cluster pre-test: the cluster's own box
-                # rides in spare lanes 126–127 of SMEM rows 0–2
-                # (paircluster._pack_cluster_box_lanes); one ~26-op slab
-                # test (best-t far-limited) decides whether ANY lane can
-                # still reach the cluster — on divergent waves over half
-                # the frustum-matched pairs die here, skipping all 8
-                # per-row box tests.
-                bt0 = out_ref[0:SUB, :]
-                clox = sm_ref[slot, 0, 126]
-                cloy = sm_ref[slot, 0, 127]
-                cloz = sm_ref[slot, 1, 126]
-                chix = sm_ref[slot, 1, 127]
-                chiy = sm_ref[slot, 2, 126]
-                chiz = sm_ref[slot, 2, 127]
-                t0x = (clox - ox) * ivx
-                t1x = (chix - ox) * ivx
-                t0y = (cloy - oy) * ivy
-                t1y = (chiy - oy) * ivy
-                t0z = (cloz - oz) * ivz
-                t1z = (chiz - oz) * ivz
-                ctn = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t0x, t1x),
-                                jnp.minimum(t0y, t1y)),
-                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+            if sc_mode:
+                # supercluster expansion: children share the instance
+                # (TL builds never span one), so the object-space ray
+                # transform happens once per supercluster
+                mv = scm_ref[c]
+                base_cl = mv & 0xFFFF
+                nch = mv >> 16
+                rays = _pair_rays(base_cl)
+                inst_f = (
+                    (pm_ref[base_cl] >> INST_SHIFT).astype(jnp.float32)
+                    if two_level and not lean_any else None
                 )
-                ctf = jnp.minimum(
-                    jnp.minimum(jnp.maximum(t0x, t1x),
-                                jnp.maximum(t0y, t1y)),
-                    jnp.minimum(jnp.maximum(t0z, t1z), bt0),
-                )
+                for k in range(_SC_SIZE):
 
-                @pl.when(jnp.any(ctn <= ctf))
-                def _():
-                    for r in range(ROWS_PER_CLUSTER):
-                        bt_r = out_ref[0:SUB, :]
-                        tn, tf = _row_box_interval(
-                            sm_ref, slot, r, ox, oy, oz, ivx, ivy, ivz,
-                            bt_r
-                        )
-
-                        if lean_any:
-
-                            @pl.when(jnp.any(tn <= tf))
-                            def _(r=r, bt_r=bt_r):
-                                occ = _row_occluded_smem(
-                                    sm_ref, slot, r, ox, oy, oz,
-                                    dx, dy, dz, bt_r
-                                )
-                                out_ref[0:SUB, :] = jnp.where(
-                                    occ, -1.0, bt_r)
-                                out_ref[3 * SUB:4 * SUB, :] = jnp.where(
-                                    occ, 0.0,
-                                    out_ref[3 * SUB:4 * SUB, :])
-
-                            continue
-
-                        @pl.when(jnp.any(tn <= tf))
-                        def _(r=r):
-                            cand = []
-                            _row_candidates_smem(
-                                sm_ref, slot, r, ox, oy, oz, dx, dy, dz,
-                                cand
+                    @pl.when(k < nch)
+                    def _(k=k):
+                        if smem_tri:
+                            _smem_cluster_body(
+                                slot, k * ROWS_PER_CLUSTER, rays, inst_f
                             )
-                            tr, ur, vr, sr = _fold_candidates(cand)
-                            bt = out_ref[0:SUB, :]
-                            win = tr < bt
-                            out_ref[0:SUB, :] = jnp.where(win, tr, bt)
-                            out_ref[SUB:2 * SUB, :] = jnp.where(
-                                win, ur, out_ref[SUB:2 * SUB, :])
-                            out_ref[2 * SUB:3 * SUB, :] = jnp.where(
-                                win, vr, out_ref[2 * SUB:3 * SUB, :])
-                            out_ref[3 * SUB:4 * SUB, :] = jnp.where(
-                                win, sr, out_ref[3 * SUB:4 * SUB, :])
-                            if two_level:
-                                out_ref[4 * SUB:5 * SUB, :] = jnp.where(
-                                    win, inst_f,
-                                    out_ref[4 * SUB:5 * SUB, :])
+                        else:
+                            _fori_cluster_body(base_cl + k, rays, inst_f)
+                return
+            rays = _pair_rays(c)
+            inst_f = (
+                (pm_ref[jnp.maximum(c, 0)]
+                 >> INST_SHIFT).astype(jnp.float32)
+                if two_level and not lean_any else None
+            )
+            if smem_tri:
+                _smem_cluster_body(slot, 0, rays, inst_f)
             else:
-                # interpret/no-SMEM flavor: compact fori over rows with
-                # vector lane extracts (CPU tests keep small jaxprs)
-                base = row_base(jnp.maximum(c, 0))
-
-                def rbody(r, cr):
-                    row = tri_ref[pl.ds(base + r, 1), :]
-                    out = []
-                    _row_candidates(row, ox, oy, oz, dx, dy, dz, out)
-                    return _fold_candidates(out + [cr])
-
-                init = (jnp.full((SUB, 128), BIG, jnp.float32),
-                        jnp.zeros((SUB, 128), jnp.float32),
-                        jnp.zeros((SUB, 128), jnp.float32),
-                        jnp.full((SUB, 128), -1.0, jnp.float32))
-                tm_c, um, vm, sm = jax.lax.fori_loop(
-                    0, ROWS_PER_CLUSTER, rbody, init
-                )
-                bt = out_ref[0:SUB, :]
-                if lean_any:
-                    # occlusion semantics only: any candidate inside the
-                    # live window occludes the lane (retire via bt = −1)
-                    occ = tm_c < bt
-                    out_ref[0:SUB, :] = jnp.where(occ, -1.0, bt)
-                    out_ref[3 * SUB:4 * SUB, :] = jnp.where(
-                        occ, 0.0, out_ref[3 * SUB:4 * SUB, :])
-                    return
-                win = tm_c < bt
-                out_ref[0:SUB, :] = jnp.where(win, tm_c, bt)
-                out_ref[SUB:2 * SUB, :] = jnp.where(
-                    win, um, out_ref[SUB:2 * SUB, :])
-                out_ref[2 * SUB:3 * SUB, :] = jnp.where(
-                    win, vm, out_ref[2 * SUB:3 * SUB, :])
-                out_ref[3 * SUB:4 * SUB, :] = jnp.where(
-                    win, sm, out_ref[3 * SUB:4 * SUB, :])
-                if two_level:
-                    out_ref[4 * SUB:5 * SUB, :] = jnp.where(
-                        win, inst_f, out_ref[4 * SUB:5 * SUB, :])
+                _fori_cluster_body(c, rays, inst_f)
 
     # Manually unrolled EARLY-TERMINATING pair loop. The dynamic-bound
     # loop lowers to a Mosaic while loop whose per-iteration
@@ -1477,7 +1545,8 @@ def _entry_rows_enabled(n_clusters: int, n_tiles: int = 0) -> bool:
 def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
                       n_clusters, pcap, per_tile_clamp, interpret,
                       any_hit, all_pairs=False, pair_meta=None,
-                      inv_xform=None, exact_ok=True):
+                      inv_xform=None, exact_ok=True,
+                      sc_lo=None, sc_hi=None, sc_meta=None):
     """Pair-loop twin of ``_trace_tiles``: builds per-tile pair SEGMENTS
     (offsets + tile-major cluster list, no sentinels — a tile with zero
     pairs simply iterates nothing; its output block is always initialized
@@ -1520,15 +1589,55 @@ def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
         # screen-tile primary waves match ~18 pairs/tile where the dense
         # mask (~4 µs/tile) cannot pay for itself ("all" forces it on).
         if _os.environ.get("TPURT_EXACT_IMPL", "pallas") == "xla":
-            mask, tn_lower = _exact_any_mask(
-                org, dirn, t_max_vec, lo, hi, n_tiles, return_tn=True)
+            mask_fn = functools.partial(_exact_any_mask, return_tn=True)
         else:
-            mask, tn_lower = _exact_any_mask_pallas(
-                org, dirn, t_max_vec, lo, hi, n_tiles,
-                interpret=interpret)
+            mask_fn = functools.partial(_exact_any_mask_pallas,
+                                        interpret=interpret)
     else:
-        mask, tn_lower = _tile_mask(org, dirn, t_max_vec, lo, hi,
-                                    n_tiles, return_tn=True)
+        mask_fn = functools.partial(_tile_mask, return_tn=True)
+    if (sc_meta is not None and per_tile_clamp <= 0
+            and _entry_rows_enabled(sc_lo.shape[0], n_tiles)):
+        # SUPERCLUSTER entry rows (round 5): the exact mask, the entry
+        # build, and the per-tile front-to-back lane sort all run over
+        # the S ≈ C/8 superboxes instead of C cluster boxes — the dense
+        # N·C mask flops and the (T, Cp) sort were the two largest
+        # measured per-sorted-trace machinery terms (PARITY.md round-3
+        # probe_occl_decomp: 56.8 + 39.2 ms vs a ~29 ms traversal
+        # kernel). The kernel expands each surviving supercluster with
+        # the exact per-child box pre-test, so per-ray exactness is
+        # unchanged. The superbox mask is conservative vs children —
+        # never loses hits (same soundness argument as the interval
+        # frustum mask).
+        n_sc = sc_lo.shape[0]
+        mask, tn_lower = mask_fn(org, dirn, t_max_vec, sc_lo, sc_hi,
+                                 n_tiles)
+        counts = mask.sum(axis=1, dtype=jnp.int32)
+        total = counts.sum(dtype=jnp.int32)
+        overflow = jnp.zeros((), bool)
+        scene_diag = jnp.linalg.norm(
+            jnp.max(sc_hi, axis=0) - jnp.min(sc_lo, axis=0))
+        tn_scale = jnp.maximum(scene_diag, 1e-12) / 32766.0
+        tn_q = jnp.clip(
+            (jnp.maximum(tn_lower, 0.0) / tn_scale).astype(jnp.int32),
+            0, 32766,
+        )
+        cl_of = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, n_sc), 1)
+        entry = jnp.where(mask, (tn_q << 16) | cl_of,
+                          jnp.int32(2**31 - 1))
+        cp = ((n_sc + 127) // 128) * 128
+        tpad = (-n_tiles) % ENTRY_GROUP
+        if cp != n_sc or tpad:
+            entry = jnp.pad(entry, ((0, tpad), (0, cp - n_sc)),
+                            constant_values=2**31 - 1)
+        entry = jax.lax.sort(entry)  # per-row (lane-axis) front-to-back
+        return _launch_tiles_loop(
+            None, None, org, dirn, t_max_vec, tri_rows,
+            n_tiles=n_tiles, interpret=interpret, any_hit=any_hit,
+            n_pairs=total, overflow=overflow, pair_meta=pair_meta,
+            inv_xform=inv_xform, tn_scale=tn_scale, entries=entry,
+            counts=counts, sc_meta=sc_meta,
+        )
+    mask, tn_lower = mask_fn(org, dirn, t_max_vec, lo, hi, n_tiles)
     if _entry_rows_enabled(n_clusters, n_tiles):
         # Dense entry-row plumbing (round 3): ONE single-operand
         # lane-axis lax.sort orders each tile's (tn_q << 16 | cluster)
@@ -1631,9 +1740,11 @@ def _trace_tiles_loop(org, dirn, t_max_vec, lo, hi, tri_rows, *,
 def _launch_tiles_loop(off, pair_cl, org, dirn, t_max_vec, tri_rows, *,
                        n_tiles, interpret, any_hit, n_pairs, overflow,
                        pair_meta=None, inv_xform=None, tn_scale=None,
-                       entries=None, counts=None):
+                       entries=None, counts=None, sc_meta=None):
     two_level = pair_meta is not None
     entry_rows = entries is not None
+    sc_mode = sc_meta is not None
+    assert not sc_mode or entry_rows, "sc_mode rides the entry-row path"
     n_out = 5 if two_level else 4
     n = org.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(dirn) < 1e-12,
@@ -1682,17 +1793,25 @@ def _launch_tiles_loop(off, pair_cl, org, dirn, t_max_vec, tri_rows, *,
             pltpu.SemaphoreType.DMA((2,)),
         ]
     if smem_tri:
+        # sc_mode DMAs a whole supercluster (SC_SIZE clusters) per copy
+        rows_per_copy = (
+            _SC_SIZE * ROWS_PER_CLUSTER if sc_mode else ROWS_PER_CLUSTER
+        )
         scratch += [
-            pltpu.SMEM((2, ROWS_PER_CLUSTER, 128), jnp.float32),
+            pltpu.SMEM((2, rows_per_copy, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     if entry_rows:
         n_prefetch -= 1  # counts replaces (off, pair_cl)
+        if sc_mode:
+            n_prefetch += 1  # the sc_meta child table
         in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM), in_spec]
-        operands = (counts, flags, scale, tri_rows, entries, ray_pack)
+        scm = (sc_meta,) if sc_mode else ()
+        operands = (counts, flags, scale, *scm, tri_rows, entries,
+                    ray_pack)
         if two_level:
-            operands = (counts, flags, scale, pair_meta,
+            operands = (counts, flags, scale, *scm, pair_meta,
                         inv_xform.reshape(-1), tri_rows, entries,
                         ray_pack)
     else:
@@ -1708,13 +1827,18 @@ def _launch_tiles_loop(off, pair_cl, org, dirn, t_max_vec, tri_rows, *,
         out_specs=[out_spec],
         scratch_shapes=scratch,
     )
+    # sc_mode processes a whole supercluster (up to SC_SIZE clusters)
+    # per loop iteration — the while-loop machinery is already amortized
+    # ~8×, and unrolling superclusters would multiply kernel code size
+    unroll = 1 if sc_mode else (
+        PAIR_UNROLL if not interpret else PAIR_UNROLL_INTERP
+    )
     out = pl.pallas_call(
         functools.partial(_tileloop_kernel, two_level=two_level,
                           n_out=n_out, smem_tri=smem_tri,
                           lean_any=lean_any,
-                          unroll=PAIR_UNROLL if not interpret
-                          else PAIR_UNROLL_INTERP,
-                          entry_rows=entry_rows),
+                          unroll=unroll,
+                          entry_rows=entry_rows, sc_mode=sc_mode),
         grid_spec=grid_spec,
         out_shape=[out_shape],
         interpret=interpret,
@@ -1784,6 +1908,11 @@ def make_tile_intersector(ds, accel: PairAccel, *,
     pair_meta = getattr(accel, "pair_meta", None)
     inv_xform = getattr(accel, "inv_xform", None)
     two_level = pair_meta is not None
+    # supercluster level (round 5): present on freshly-built accels;
+    # None on hand-built test accels (→ per-cluster path, unchanged)
+    sc_lo_h = getattr(accel, "sc_lo", None)
+    sc_hi_h = getattr(accel, "sc_hi", None)
+    sc_meta_h = getattr(accel, "sc_meta", None)
 
     def _run(org, dirn, t_max, any_hit=False, sort=None, avg_over=None,
              live_trunc=0):
@@ -1866,7 +1995,19 @@ def make_tile_intersector(ds, accel: PairAccel, *,
         )
         eff_avg = pairs_avg if avg_over is None else avg_over
         avg = clamp if eff_avg <= 0 else min(eff_avg, clamp)
-        entry_rows_on = _entry_rows_enabled(n_clusters, n_tiles)
+        # supercluster gate (TPURT_SUPERCLUSTER=0 disables; "auto"/"1"
+        # on whenever the accel carries the level, no explicit per-tile
+        # clamp is configured, and the S-granular entries fit VMEM —
+        # S ≈ C/8, so this widens entry-row applicability ~8×)
+        sc_active = (
+            sc_meta_h is not None
+            and _os.environ.get("TPURT_SUPERCLUSTER", "auto") != "0"
+            and use_loop
+            and pairs_per_tile <= 0
+            and _entry_rows_enabled(sc_lo_h.shape[0], n_tiles)
+        )
+        entry_rows_on = sc_active or _entry_rows_enabled(
+            n_clusters, n_tiles)
         if use_loop and entry_rows_on:
             # entry-row mode has no SMEM pair list, so the SMEM-capacity
             # launch chunking is pointless — and actively harmful: each
@@ -1978,12 +2119,18 @@ def make_tile_intersector(ds, accel: PairAccel, *,
             s = k * chunk_tiles * TILE
             e = s + chunk_tiles * TILE
             if use_loop:
+                sckw = (dict(
+                    sc_lo=jnp.asarray(sc_lo_h),
+                    sc_hi=jnp.asarray(sc_hi_h),
+                    sc_meta=jnp.asarray(sc_meta_h),
+                ) if sc_active else {})
                 outs.append(_trace_tiles_loop(
                     org[s:e], dirn[s:e], tmv[s:e], lo_d, hi_d, rows_d,
                     n_clusters=n_clusters, pcap=pcap,
                     per_tile_clamp=pairs_per_tile, interpret=interpret,
                     any_hit=any_hit,
-                    exact_ok=sort in ("morton", "octant", "pre"), **tlkw,
+                    exact_ok=sort in ("morton", "octant", "pre"),
+                    **sckw, **tlkw,
                 ))
             else:
                 outs.append(_trace_tiles(

@@ -275,7 +275,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
 
         closest, _ = make_intersectors(ds, accel, meta=meta,
                                        config=config, wave=wave,
-                                       live_cap=live_cap)
+                                       lean=True, live_cap=live_cap)
         closest = make_cutout_closest(ds, accel, closest, meta=meta)
         inc = jnp.zeros(NCOUNT, jnp.float32).at[0].set(
             jnp.sum(state.alive.astype(jnp.float32))
@@ -459,7 +459,7 @@ def make_staged_renderer(ds, accel, *, meta: SceneMeta,
         closest, any_hit = make_intersectors(
             ds, accel, meta=meta, config=config,
             wave="presorted" if presorted else "bounce",
-            shadow_live_cap=shadow_cap,
+            lean=True, shadow_live_cap=shadow_cap,
         )
         any_hit = make_occluder(ds, accel, closest, any_hit, meta=meta)
         s_org, s_dir, s_tmax, contrib, want = shadow

@@ -148,7 +148,8 @@ def render_batch_wavefront(
     w, h = config.width, config.height
     capacity = min(config.wavefront_capacity, w * h * config.spp_per_batch)
     total_paths = jnp.uint32(w * h * config.spp_per_batch)
-    closest, any_hit = make_intersectors(ds, accel, meta=meta, config=config)
+    closest, any_hit = make_intersectors(ds, accel, meta=meta,
+                                         config=config, lean=True)
     from tpurt.render.integrator import make_cutout_closest, make_occluder
 
     any_hit = make_occluder(ds, accel, closest, any_hit, meta=meta)
