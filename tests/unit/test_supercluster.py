@@ -92,7 +92,7 @@ def test_tl_superclusters_never_span_instances():
 
 @pytest.mark.parametrize("smem", ["0", "1"])
 def test_sc_matches_percluster_flat(bunny_setup, rng, monkeypatch, smem):
-    """sc entries (TPURT_SUPERCLUSTER=auto) ≡ per-cluster entries
+    """sc entries (TPURT_SUPERCLUSTER=1, forced) ≡ per-cluster entries
     (TPURT_SUPERCLUSTER=0) on incoherent waves — both SMEM and fori
     kernel flavors."""
     _, ds, _, accel, _ = bunny_setup
@@ -100,7 +100,7 @@ def test_sc_matches_percluster_flat(bunny_setup, rng, monkeypatch, smem):
     monkeypatch.setenv("TPURT_ENTRY_ROWS", "1")
     org, dirn = _rand_rays(rng, 2048, np.zeros(3), 1.2)
 
-    monkeypatch.setenv("TPURT_SUPERCLUSTER", "auto")
+    monkeypatch.setenv("TPURT_SUPERCLUSTER", "1")  # force: "auto" only engages when cluster entries exceed VMEM
     sc_closest, sc_any = make_tile_intersector(
         ds, accel, interpret=True, ray_sort="octant")
     h_sc = sc_closest(org, dirn, 0.0, jnp.inf)
@@ -124,7 +124,7 @@ def test_sc_matches_percluster_flat(bunny_setup, rng, monkeypatch, smem):
 
 def test_sc_matches_oracle_flat(bunny_setup, rng, monkeypatch):
     _, ds, _, accel, brute = bunny_setup
-    monkeypatch.setenv("TPURT_SUPERCLUSTER", "auto")
+    monkeypatch.setenv("TPURT_SUPERCLUSTER", "1")  # force: "auto" only engages when cluster entries exceed VMEM
     monkeypatch.setenv("TPURT_ENTRY_ROWS", "1")
     closest, _ = make_tile_intersector(
         ds, accel, interpret=True, ray_sort="octant", lean=False)
@@ -158,7 +158,7 @@ def test_sc_matches_percluster_two_level(rng, monkeypatch):
                        - np.asarray(accel.cluster_lo).min(0))) / 3
     org, dirn = _rand_rays(rng, 2048, center, radius)
 
-    monkeypatch.setenv("TPURT_SUPERCLUSTER", "auto")
+    monkeypatch.setenv("TPURT_SUPERCLUSTER", "1")  # force: "auto" only engages when cluster entries exceed VMEM
     sc_closest, sc_any = make_tile_intersector(
         ds, accel, interpret=True, ray_sort="octant")
     h_sc = sc_closest(org, dirn, 0.0, jnp.inf)

@@ -1531,6 +1531,16 @@ ENTRY_GROUP = 8
 ENTRY_ROWS_MAX_CLUSTERS = 4096
 ENTRY_VMEM_BYTES = 48 * 1024 * 1024
 
+# Supercluster auto threshold (round 5, measured): the dense mask +
+# entry sort scale with C while the kernel-side cost of the sc
+# expansion is ~flat, so sc pays only at large C — bunny C=854 measured
+# −6% (9.44 vs 10.07), sponza C=2430 measured +1.7% (4.88 vs 4.80) with
+# the mask halved (95.5 → 48.7 ms at 1080p scale,
+# probe_sponza_decomp.json). sc also engages whenever the
+# cluster-granular entries exceed the VMEM gate (then it replaces the
+# budget path's chunked launches outright).
+SC_AUTO_MIN_CLUSTERS = 2000
+
 
 def _entry_rows_enabled(n_clusters: int, n_tiles: int = 0) -> bool:
     v = _os.environ.get("TPURT_ENTRY_ROWS", "auto")
@@ -1995,19 +2005,32 @@ def make_tile_intersector(ds, accel: PairAccel, *,
         )
         eff_avg = pairs_avg if avg_over is None else avg_over
         avg = clamp if eff_avg <= 0 else min(eff_avg, clamp)
-        # supercluster gate (TPURT_SUPERCLUSTER=0 disables; "auto"/"1"
-        # on whenever the accel carries the level, no explicit per-tile
-        # clamp is configured, and the S-granular entries fit VMEM —
-        # S ≈ C/8, so this widens entry-row applicability ~8×)
-        sc_active = (
+        # Supercluster gate — measured round 5 (ab_results.jsonl):
+        # bunny 800×600 sc 9.44 vs per-cluster 10.07 (−6%: superbox
+        # conservatism costs ~185 child pre-tests/tile vs 96.9 direct
+        # cluster pairs — probe_sc_grouping.py — which eats the ~8×
+        # mask/entry machinery saving), sponza quick 3.75 vs 3.74
+        # (wash), sponza 1080p 4.88 vs 4.80 (+1.7%, and the budget
+        # path's chunked launches/overflow retries disappear). So
+        # "auto" = sc ONLY where the cluster-granular entry path is
+        # VMEM-INFEASIBLE (large waves × large C — sponza-1080p class);
+        # everywhere else the per-cluster entries stay. "1" forces sc
+        # wherever S-granular entries fit (A/B); "0" disables.
+        sc_env = _os.environ.get("TPURT_SUPERCLUSTER", "auto")
+        sc_possible = (
             sc_meta_h is not None
-            and _os.environ.get("TPURT_SUPERCLUSTER", "auto") != "0"
+            and sc_env != "0"
             and use_loop
             and pairs_per_tile <= 0
             and _entry_rows_enabled(sc_lo_h.shape[0], n_tiles)
         )
-        entry_rows_on = sc_active or _entry_rows_enabled(
-            n_clusters, n_tiles)
+        cluster_entries_ok = _entry_rows_enabled(n_clusters, n_tiles)
+        sc_active = sc_possible and (
+            sc_env == "1"
+            or not cluster_entries_ok
+            or n_clusters >= SC_AUTO_MIN_CLUSTERS
+        )
+        entry_rows_on = sc_active or cluster_entries_ok
         if use_loop and entry_rows_on:
             # entry-row mode has no SMEM pair list, so the SMEM-capacity
             # launch chunking is pointless — and actively harmful: each
