@@ -143,6 +143,11 @@ def cpu_scaling_child(n_sample: int, n_tile: int):
 
     import jax
 
+    # the box's sitecustomize pins JAX_PLATFORMS=axon and IGNORES the
+    # env var — only a pre-init config update selects the virtual-device
+    # CPU backend (same gotcha as tests/conftest.py / generate_goldens)
+    jax.config.update("jax_platforms", "cpu")
+
     from tpurt.parallel.mesh import make_render_mesh
     from tpurt.render import build_accel
     from tpurt.render.intersectors import scene_meta

@@ -67,6 +67,7 @@ def child_main(args) -> int:
     # has already happened; accuracy doesn't care about dispatch
     # latency). --quick skips it (the gate run stays fast).
     rmse_val = None
+    bias_val = None
     if not args.skip_rmse:
         try:
             import numpy as np
@@ -86,6 +87,16 @@ def child_main(args) -> int:
                 rmse_val = round(
                     float(np.sqrt(np.mean((img - golden) ** 2))), 8
                 )
+                # Energy bias — the well-conditioned cross-device
+                # accuracy statistic for deep-bounce MC configs: one
+                # ulp of cross-backend fp difference in a bounce
+                # direction decorrelates the path's remaining bounces,
+                # so per-pixel RMSE is noise-floor-limited (measured on
+                # cornell_pt: 0.0397 @ 8 spp -> 0.0125 @ 64 spp, pure
+                # 1/sqrt(spp) — no bias signal). The MEAN difference
+                # averages that noise over pixels x samples; real
+                # accuracy bugs (wrong BRDF, lost hits) shift it.
+                bias_val = round(float(img.mean() - golden.mean()), 8)
         except Exception as e:  # report, never fail the ladder row
             rmse_val = f"error: {e!r}"[:160]
     rec = {
@@ -100,6 +111,7 @@ def child_main(args) -> int:
         "budget_retries": stats.get("budget_retries", 0),
         "rays": int(stats["rays_traced"]),
         "rmse_vs_golden": rmse_val,
+        "bias_vs_golden": bias_val,
         "device": device,
         "ts": time.strftime("%Y-%m-%d %H:%M"),
     }
@@ -239,13 +251,15 @@ def main():
         f.write(f"Device: {rows[0]['device'] if rows else '?'} — one fresh "
                 "subprocess per config (axon D2H-poison law)\n\n")
         f.write("| config | resolution | spp | Mrays/s | frame s | "
-                "warmup s | RMSE vs golden (this device) | overflow |\n")
-        f.write("|---|---|---|---|---|---|---|---|\n")
+                "warmup s | RMSE vs golden (this device) | "
+                "energy bias | overflow |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             f.write(
                 f"| {r['config']} | {r['resolution']} | {r['spp']} | "
                 f"{r['mrays_per_s']} | {r['frame_s']} | {r['warmup_s']} | "
                 f"{r.get('rmse_vs_golden', '—')} | "
+                f"{r.get('bias_vs_golden', '—')} | "
                 f"{'RETRY x' + str(r['budget_retries']) if r['budget_retries'] else 'ok'} |\n"
             )
     print(f"table → {md}")

@@ -16,8 +16,16 @@ GOLDENS = {
     "hello_triangle": dict(width=80, height=60, spp=1, spp_per_batch=1),
     "cornell": dict(width=64, height=64, spp=8, spp_per_batch=4,
                     max_bounces=0),
-    "cornell_pt": dict(width=48, height=48, spp=8, spp_per_batch=4,
-                       max_bounces=4),
+    # cornell_pt pins the intersector and carries more spp: a 4-bounce
+    # MC comparison is chaos-dominated when the two sides' arithmetic
+    # differs AT ALL (measured: CPU bvh_tile vs CPU brute golden at
+    # 8 spp = RMSE 0.028 — one ulp in a bounce direction decorrelates
+    # the path's remaining bounces). Same-intersector cross-device
+    # comparisons are well-conditioned (traversal is near-bit-exact
+    # across backends); 64 spp averages the residual divergent-path
+    # fraction.
+    "cornell_pt": dict(width=48, height=48, spp=64, spp_per_batch=8,
+                       max_bounces=4, intersector="bvh_tile"),
     "bunny": dict(width=64, height=48, spp=2, spp_per_batch=2,
                   max_bounces=2),
     "sponza": dict(width=80, height=45, spp=2, spp_per_batch=2,
