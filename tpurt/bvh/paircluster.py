@@ -281,14 +281,42 @@ def kd_cluster_order(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     return np.concatenate(order) if order else np.arange(0)
 
 
+def hier_cluster_order(v0, v1, v2, size: int = TRIS_PER_CLUSTER,
+                       parent: int = SC_SIZE * TRIS_PER_CLUSTER):
+    """Two-level kd-SAH order: kd-tight PARENT blocks of ``parent`` tris
+    first, then kd-tight ``size`` clusters within each block — so the
+    SC_SIZE consecutive clusters forming each supercluster share a
+    kd-tight parent AABB instead of whatever Morton adjacency gave.
+    Measured on the bunny bounce wave (benchmarks/probe_sc_grouping.py):
+    cluster quality unchanged (exact pairs/tile 96.9 → 96.5) while
+    supercluster survivors drop 23.2 → 19.9/tile (−14% of the sc
+    kernel's per-child pre-test/DMA work). kd_cluster_order guarantees
+    every non-last parent block is exactly ``parent`` tris and the
+    single sub-size remainder lands last, so the final cluster is still
+    the only padded one."""
+    outer = kd_cluster_order(v0, v1, v2, size=parent, sah=True)
+    order = []
+    n = v0.shape[0]
+    for b in range(0, n, parent):
+        blk = outer[b:min(b + parent, n)]
+        inner = kd_cluster_order(v0[blk], v1[blk], v2[blk], size=size,
+                                 sah=True)
+        order.append(blk[inner])
+    return (np.concatenate(order) if order
+            else np.arange(0))
+
+
 def cluster_order(v0, v1, v2, size: int = TRIS_PER_CLUSTER):
-    """Production triangle order for uniform clustering: SAH-split
-    kd-tight by default; ``TPURT_CLUSTERING=kd`` uses the cheaper
-    widest-axis-midpoint splits, ``=morton`` keeps the input (Morton)
-    order — both for A/B measurement."""
+    """Production triangle order for uniform clustering: hierarchical
+    kd-SAH (supercluster-aligned parents) by default;
+    ``TPURT_CLUSTERING=kdsah`` is the round-2..4 flat kd-SAH order,
+    ``=kd`` the cheaper widest-axis-midpoint splits, ``=morton`` keeps
+    the input (Morton) order — all for A/B measurement."""
     import os
 
-    mode = os.environ.get("TPURT_CLUSTERING", "kdsah")
+    mode = os.environ.get("TPURT_CLUSTERING", "hier")
+    if mode == "hier":
+        return hier_cluster_order(v0, v1, v2, size)
     if mode == "kdsah":
         return kd_cluster_order(v0, v1, v2, size, sah=True)
     if mode == "kd":
