@@ -58,9 +58,20 @@ def child_main(args) -> int:
     t_w = time.perf_counter()
     render_scene(warm, readback_stats=False)
     warm_s = time.perf_counter() - t_w
+    # Median of three timed renders: the tunneled backend has BOTH
+    # timing failure modes — multi-minute stall windows that inflate a
+    # single measurement (a cornell_pt row measured 26 Mrays/s between
+    # two 74.7 readings, identical RMSE) and the law-5 lying-clock
+    # anomaly that deflates one (bench.py's measure-twice-take-slower
+    # guard). The median survives one outlier in either direction.
     t0 = time.perf_counter()
-    state, stats = render_scene(config)
+    runs = []
+    for _ in range(3):
+        state, stats = render_scene(config)
+        runs.append(stats)
     wall = time.perf_counter() - t0
+    runs.sort(key=lambda s: s["elapsed_s"])
+    stats = runs[1]
     # Hardware-accuracy RMSE (VERDICT r4 weak #3): re-render this
     # scene's GOLDEN fixture config on the SAME device and compare to
     # the committed golden. Runs after the timed row (the D2H poison
