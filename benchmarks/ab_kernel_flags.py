@@ -54,6 +54,9 @@ VARIANTS = {
     # runs WITH superclusters — "nosc" is the explicit control
     "sc": ({"TPURT_SUPERCLUSTER": "auto"}, ["--spp-per-batch", "8"]),
     "nosc": ({"TPURT_SUPERCLUSTER": "0"}, ["--spp-per-batch", "8"]),
+    # round-5 fused mask→entry kernel A/B ("fe" = the new default)
+    "fe": ({"TPURT_FUSED_ENTRIES": "1"}, ["--spp-per-batch", "8"]),
+    "nofe": ({"TPURT_FUSED_ENTRIES": "0"}, ["--spp-per-batch", "8"]),
 }
 # "base8" is the same config as "batch8" (advisor r3); keep the alias so
 # old result rows stay interpretable, but share the definition.

@@ -141,6 +141,19 @@ def main():
                             constant_values=2**31 - 1)
         return jax.lax.sort(entry)
 
+    def fused_at(boxes_lo, boxes_hi):
+        @jax.jit
+        def f(org, dirn, tmv):
+            n_tiles = org.shape[0] // TILE
+            scene_diag = jnp.linalg.norm(scene_hi - scene_lo)
+            tn_scale = jnp.maximum(scene_diag, 1e-12) / 32766.0
+            ent = tw._exact_entries_pallas(
+                org, dirn, tmv, boxes_lo, boxes_hi, n_tiles, tn_scale)
+            counts = (ent != jnp.int32(2**31 - 1)).sum(
+                axis=1, dtype=jnp.int32)[:n_tiles]
+            return jax.lax.sort(ent), counts
+        return f
+
     @jax.jit
     def restore2(rk, bs):
         return jax.lax.sort((rk, bs), num_keys=1)[1]
@@ -184,6 +197,12 @@ def main():
         row["pairs_per_tile_cluster"] = float(jnp.sum(m_c)) / n_tiles
         _, ms = t(f"entry build+sort C={C}", entry_build, m_c, tn_c, C)
         row["entry_cluster_ms"] = ms
+        # round-5 fused mask→entry kernel: one pallas call + lane sort
+        # replaces (mask kernel + XLA entry build); compare its total
+        # against mask_cluster_ms + entry_cluster_ms
+        _, ms = t(f"FUSED entries+sort C={C}", fused_at(lo, hi),
+                  org_s, dir_s, tmv_s)
+        row["fused_cluster_ms"] = ms
         if has_sc:
             (m_s, tn_s), ms = t(f"exact mask S={S}",
                                 mask_at(sc_lo, sc_hi),
@@ -193,6 +212,9 @@ def main():
             _, ms = t(f"entry build+sort S={S}", entry_build,
                       m_s, tn_s, S)
             row["entry_sc_ms"] = ms
+            _, ms = t(f"FUSED entries+sort S={S}",
+                      fused_at(sc_lo, sc_hi), org_s, dir_s, tmv_s)
+            row["fused_sc_ms"] = ms
         _, ms = t("restore sort (2-op)", restore2, rk, tmv_s)
         row["restore_ms"] = ms
         report[tag] = row

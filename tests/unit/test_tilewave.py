@@ -542,3 +542,74 @@ def test_pair_unroll_matches_oracle(rng, monkeypatch, unroll):
     finally:
         monkeypatch.delenv("TPURT_PAIR_UNROLL")
         importlib.reload(tw)
+
+
+def test_fused_entries_match_xla_build(rng):
+    """The fused mask→entry kernel (_exact_entries_pallas) must emit
+    BIT-IDENTICAL packed entry words to the mask kernel + XLA expansion
+    it replaces (same tn quantization formula, INT32_MAX on no-hit and
+    on every lane/row pad) — the entry-row sort order, and therefore
+    the whole render, is then unchanged by TPURT_FUSED_ENTRIES."""
+    import jax
+    from tpurt.kernels.tilewave import (
+        BIG, ENTRY_GROUP, TILE, _exact_any_mask_pallas,
+        _exact_entries_pallas,
+    )
+
+    for n_c, n_tiles in ((37, 5), (200, 3)):  # lane pad + 2-slab cases
+        n = n_tiles * TILE
+        org = jnp.asarray(rng.normal(size=(n, 3)) * 5.0, jnp.float32)
+        dirn = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        dirn = dirn / jnp.linalg.norm(dirn, axis=1, keepdims=True)
+        tm = jnp.where(jnp.arange(n) % 7 == 0, -1.0, BIG
+                       ).astype(jnp.float32)
+        clo = jnp.asarray(rng.uniform(-8, 6, size=(n_c, 3)), jnp.float32)
+        chi = clo + jnp.asarray(rng.uniform(0.1, 2.0, size=(n_c, 3)),
+                                jnp.float32)
+        diag = jnp.linalg.norm(jnp.max(chi, 0) - jnp.min(clo, 0))
+        tn_scale = jnp.maximum(diag, 1e-12) / 32766.0
+        mask, tn = _exact_any_mask_pallas(org, dirn, tm, clo, chi,
+                                          n_tiles, interpret=True)
+        tn_q = jnp.clip((jnp.maximum(tn, 0.0) / tn_scale
+                         ).astype(jnp.int32), 0, 32766)
+        cl = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, n_c), 1)
+        entry = jnp.where(mask, (tn_q << 16) | cl, jnp.int32(2**31 - 1))
+        cp = ((n_c + 127) // 128) * 128
+        tpad = (-n_tiles) % ENTRY_GROUP
+        entry = jnp.pad(entry, ((0, tpad), (0, cp - n_c)),
+                        constant_values=2**31 - 1)
+        fused = _exact_entries_pallas(org, dirn, tm, clo, chi, n_tiles,
+                                      tn_scale, interpret=True)
+        np.testing.assert_array_equal(np.asarray(fused),
+                                      np.asarray(entry))
+
+
+def test_fused_entries_render_equality(rng, monkeypatch):
+    """TPURT_FUSED_ENTRIES=1 (default) vs =0 must render bit-identically
+    through the entry-row path (closest and any-hit)."""
+    scene = bunny_standin(subdivisions=3)
+    meta = scene_meta(scene)
+    ds = to_device(scene)
+    accel = build_pair_accel(ds, meta, scene=scene)
+    center = (np.asarray(accel.cluster_lo).min(0)
+              + np.asarray(accel.cluster_hi).max(0)) / 2
+    radius = float(np.linalg.norm(
+        np.asarray(accel.cluster_hi).max(0) - center))
+    org, dirn = _rand_rays(rng, 1500, center, radius)
+    t_min = jnp.zeros(1500, jnp.float32)
+    t_max = jnp.full(1500, 1e30, jnp.float32)
+    monkeypatch.setenv("TPURT_ENTRY_ROWS", "1")
+    monkeypatch.setenv("TPURT_EXACT_MASK", "all")
+    outs = {}
+    for fused in ("1", "0"):
+        monkeypatch.setenv("TPURT_FUSED_ENTRIES", fused)
+        closest, any_hit = make_tile_intersector(ds, accel,
+                                                 interpret=True)
+        hit = closest(org, dirn, t_min, t_max)
+        occ = any_hit(org, dirn, t_min, t_max)
+        outs[fused] = (hit, occ)
+    h1, o1 = outs["1"]
+    h0, o0 = outs["0"]
+    np.testing.assert_array_equal(np.asarray(h1.t), np.asarray(h0.t))
+    np.testing.assert_array_equal(np.asarray(h1.tri), np.asarray(h0.tri))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o0))

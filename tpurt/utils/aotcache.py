@@ -145,8 +145,10 @@ _ENV_FLAGS = (
     # without changing stage names — unkeyed they would collide
     "TPURT_SORTED_WAVE", "TPURT_LIVE_TRUNC", "TPURT_ENTRY_ROWS",
     "TPURT_EXACT_IMPL", "TPURT_CLUSTERING",
-    # round 5: supercluster entry mode changes the kernel structure
-    "TPURT_SUPERCLUSTER",
+    # round 5: supercluster entry mode changes the kernel structure;
+    # fused entries swaps the mask kernel + XLA expansion for the
+    # packed-entry kernel inside the same stage names
+    "TPURT_SUPERCLUSTER", "TPURT_FUSED_ENTRIES",
 )
 
 
