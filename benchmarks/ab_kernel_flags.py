@@ -57,6 +57,11 @@ VARIANTS = {
     # round-5 fused mask→entry kernel A/B ("fe" = the new default)
     "fe": ({"TPURT_FUSED_ENTRIES": "1"}, ["--spp-per-batch", "8"]),
     "nofe": ({"TPURT_FUSED_ENTRIES": "0"}, ["--spp-per-batch", "8"]),
+    # exact mask on COHERENT waves too: rejected pre-fusion (the dense
+    # mask couldn't pay for itself at ~18 pairs/tile) — re-tested now
+    # that the fused kernel cut the dense path's cost
+    "fe_exact_all": ({"TPURT_EXACT_MASK": "all"},
+                     ["--spp-per-batch", "8"]),
 }
 # "base8" is the same config as "batch8" (advisor r3); keep the alias so
 # old result rows stay interpretable, but share the definition.
