@@ -864,6 +864,12 @@ def _exact_entry_kernel(scale_ref, ray_ref, box_ref, ent_ref,
 
     scale_ref SMEM (1,) f32: tn quantization scale (scene_diag/32766 —
     same formula as the XLA path, so packed words are bit-identical).
+
+    The slab-accumulation body is intentionally kept in lockstep with
+    ``_exact_mask_kernel`` (still used by the budgeted path and the
+    TPURT_FUSED_ENTRIES=0 control): any math change must be applied to
+    both, and test_fused_entries_match_xla_build bit-compares the two
+    end-to-end, so drift fails the suite loudly.
     """
     RCH = 256
     for g in range(group):
@@ -934,6 +940,10 @@ def _exact_entries_pallas(org, dirn, t_max_vec, lo, hi, n_tiles,
     n = org.shape[0]
     cp = ((C + 127) // 128) * 128
     group = 8  # Mosaic output-block sublane rule (see _exact_mask_kernel)
+    # the output slab feeds _launch_tiles_loop's entries operand, which
+    # DMAs ENTRY_GROUP-row chunks — the row padding must match or the
+    # launch kernel reads past the slab on its last chunk
+    assert group == ENTRY_GROUP, "fused entry slab rows must pad to ENTRY_GROUP"
     tp = ((n_tiles + group - 1) // group) * group
     inv = 1.0 / jnp.where(jnp.abs(dirn) < 1e-12,
                           jnp.where(dirn >= 0.0, 1e-12, -1e-12), dirn)
